@@ -1,0 +1,167 @@
+"""Module-level tests: shapes under jit, causality, overfit smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformer_tts_tpu.config import HParams
+from transformer_tts_tpu.models.fastspeech2 import FastSpeech2
+from transformer_tts_tpu.models.postnets import PostConvNet
+from transformer_tts_tpu.ops.masks import create_masks
+from transformer_tts_tpu.train.trainer import (
+    init_fastspeech2_state, make_fastspeech2_train_step)
+
+
+def tiny_hp(**kw):
+    return HParams(
+        d_model_encoder=64, d_model_decoder=64, n_layer_encoder=2,
+        n_layer_decoder=2, n_head_encoder=2, n_head_decoder=2,
+        vocab_size=40, mel_dim=16, amp=False, optimizer="Noam",
+        warmup_step=10, batch_size=2, **kw)
+
+
+def make_batch(rng, b=2, l=12, t=48, mel_dim=16, vocab=40):
+    rs = np.random.RandomState(rng)
+    text = rs.randint(1, vocab, (b, l)).astype(np.int32)
+    durations = np.full((b, l), t // l, np.int32)
+    mel = rs.randn(b, t, mel_dim).astype(np.float32)
+    return {
+        "text": jnp.asarray(text),
+        "pos_text": jnp.tile(jnp.arange(1, l + 1)[None], (b, 1)),
+        "mel": jnp.asarray(mel),
+        "pos_mel": jnp.tile(jnp.arange(1, t + 1)[None], (b, 1)),
+        "alignment": jnp.asarray(durations),
+        "f0": jnp.asarray(rs.rand(b, t).astype(np.float32) * 300 + 80),
+        "energy": jnp.asarray(rs.rand(b, t).astype(np.float32) * 100),
+    }
+
+
+def test_fastspeech2_shapes_under_jit():
+    hp = tiny_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+
+    @jax.jit
+    def fwd(params, batch_stats):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats, "vq_stats": {}},
+            batch["text"], src_mask, 48, batch["alignment"],
+            batch["f0"], batch["energy"], mel_mask=mel_mask, train=False)
+
+    out = fwd(state.params, state.batch_stats)
+    assert out.mel_pre.shape == (2, 48, 16)
+    assert out.mel_post.shape == (2, 48, 16)
+    assert out.log_duration.shape == (2, 12)
+    assert out.pitch.shape == (2, 48)
+    assert out.energy.shape == (2, 48)
+    assert out.attn_enc is None  # no map materialization by default
+
+
+def test_fastspeech2_eval_deterministic():
+    hp = tiny_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    args = (batch["text"], src_mask, 48, batch["alignment"],
+            batch["f0"], batch["energy"])
+    v = {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": {}}
+    a = model.apply(v, *args, mel_mask=mel_mask, train=False)
+    b = model.apply(v, *args, mel_mask=mel_mask, train=False)
+    np.testing.assert_array_equal(np.asarray(a.mel_post),
+                                  np.asarray(b.mel_post))
+
+
+def test_fastspeech2_train_step_decreases_loss():
+    """Overfit one tiny batch: total loss must drop substantially."""
+    hp = tiny_hp(warmup_factor=30.0)  # aggressive lr for the smoke test
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(0)
+    rng = jax.random.PRNGKey(42)
+    state, logs0 = step_fn(state, batch, rng)
+    first = float(logs0["loss_total"])
+    for _ in range(60):
+        state, logs = step_fn(state, batch, rng)
+    last = float(logs["loss_total"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < 0.6 * first, (first, last)
+
+
+def test_postnet_causal_at_eval():
+    """Left-padded convs: output at t must not depend on frames > t."""
+    model = PostConvNet(num_hidden=32, mel_dim=8, reduction_rate=1,
+                        dropout=0.0, prev_version=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 20, 32),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    pre, post = model.apply(variables, x, train=False)
+    x2 = x.at[0, 15].set(99.0)  # perturb a late frame
+    pre2, post2 = model.apply(variables, x2, train=False)
+    np.testing.assert_allclose(np.asarray(post[0, :15]),
+                               np.asarray(post2[0, :15]), atol=1e-5)
+    assert not np.allclose(np.asarray(post[0, 15:]),
+                           np.asarray(post2[0, 15:]))
+
+
+def test_postnet_identity_compat_reproduces_reference_bug():
+    """prev_version=False + identity_compat returns input (postnets.py:76-79)."""
+    model = PostConvNet(num_hidden=16, mel_dim=16, reduction_rate=1,
+                        dropout=0.0, prev_version=False,
+                        identity_compat=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 10, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_speaker_conditioning_changes_output():
+    hp = tiny_hp(is_multi_speaker=True, spk_emb_type="speaker_id",
+                 spk_emb_dim=4, spk_emb_architecture="encoder")
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    v = {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": {}}
+    out0 = model.apply(v, batch["text"], src_mask, 48, batch["alignment"],
+                       batch["f0"], batch["energy"], mel_mask=mel_mask,
+                       spk_emb=jnp.array([0, 0]), train=False)
+    out1 = model.apply(v, batch["text"], src_mask, 48, batch["alignment"],
+                       batch["f0"], batch["energy"], mel_mask=mel_mask,
+                       spk_emb=jnp.array([3, 3]), train=False)
+    assert not np.allclose(np.asarray(out0.mel_post),
+                           np.asarray(out1.mel_post))
+
+
+def test_conformer_encoder_forward():
+    hp = tiny_hp(encoder_type="conformer")
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    out, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": {}},
+        batch["text"], src_mask, 48, batch["alignment"], batch["f0"],
+        batch["energy"], mel_mask=mel_mask, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"])
+    assert out.mel_post.shape == (2, 48, 16)
+
+
+def test_sq_vae_fastspeech2():
+    hp = tiny_hp(use_sq_vae=True)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    out, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": {}},
+        batch["text"], src_mask, 48, batch["alignment"], batch["f0"],
+        batch["energy"], mel_mask=mel_mask, temperature=jnp.asarray(1.0),
+        train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"])
+    assert out.sq_vae_loss is not None
+    assert np.isfinite(float(out.sq_vae_loss))
+    assert float(out.sq_vae_perplexity) > 0

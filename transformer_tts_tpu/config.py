@@ -1,0 +1,265 @@
+"""Hyper-parameter (hparams) system.
+
+Re-implements the reference config contract (reference:
+``utils/__init__.py:8-62`` singleton loader, ``utils/utils.py:184-201``
+``fill_variables`` defaults, ``utils/utils.py:57-66`` ``log_config``,
+``utils/utils.py:179-182`` ``overwrite_hparams`` and the aspirational
+``utils/default.yaml`` schema) as a single, non-singleton class:
+
+* ``HParams.from_file(path)`` loads a user ``.py`` file (importlib), copying
+  every non-dunder module attribute, then fills defaults.
+* Unlike the reference singleton (which refuses reconfiguration and is
+  duplicated byte-for-byte in three packages), ``HParams`` is a plain object:
+  construct as many as you like, pass them explicitly.
+* ``snapshot(save_dir)`` copies the config file next to checkpoints so test
+  CLIs can auto-discover it (reference: ``train_fastspeech2.py:469-474``,
+  ``test_fastspeech2.py:99-101``).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+import sys
+from typing import Any, Dict, Optional
+
+
+# Defaults injected when absent, mirroring the reference ``fill_variables``
+# (utils/utils.py:184-201) plus the knobs every driver assumes exist
+# (utils/default.yaml:1-103 and the train_*.py argument plumbing).
+_DEFAULTS: Dict[str, Any] = {
+    # --- general -----------------------------------------------------------
+    "architecture": "text-mel",       # text-mel | mel-mel | text-mel-mel
+    "model": "Fastspeech2",           # Fastspeech2 | Transformer
+    "vocab_size": 152,
+    "mel_dim": 80,
+    "amp": True,                      # bf16 compute on TPU (no loss scaler)
+    "tail_alignment": "_alignment",
+    "output_type": None,
+    "num_group": None,
+    # --- scripts / data ----------------------------------------------------
+    "train_script": None,
+    "test_script": None,
+    "spm_model": None,
+    "mean_file": None,
+    "var_file": None,
+    "lengths_file": None,
+    "log_dir": "logs",
+    "save_dir": "checkpoints",
+    # --- resume ------------------------------------------------------------
+    "loaded_epoch": None,
+    "loaded_dir": None,
+    "pretrain_model": None,
+    # --- optimizer ---------------------------------------------------------
+    "optimizer": "Noam",              # Noam | RAdam | AdamW
+    "warmup_step": 4000,
+    "warmup_factor": 1.0,
+    "learning_rate": 1e-3,            # used by RAdam/AdamW paths
+    "max_seqlen": None,               # frame budget batching (XOR batch_size)
+    "batch_size": None,
+    "max_epoch": 200,
+    "save_per_epoch": 50,
+    "clip": 1.0,
+    "accum_grad": 1,
+    "seed": 77,
+    # --- encoder -----------------------------------------------------------
+    "encoder_type": "transformer",    # transformer | conformer
+    "d_model_encoder": 384,
+    "n_layer_encoder": 6,
+    "n_head_encoder": 4,
+    "ff_conv_kernel_size_encoder": 5,
+    "concat_after_encoder": False,
+    # --- decoder -----------------------------------------------------------
+    "decoder_type": "transformer",    # transformer | conformer | tacotron2
+    "d_model_decoder": 384,
+    "n_layer_decoder": 6,
+    "n_head_decoder": 4,
+    "ff_conv_kernel_size_decoder": 1,
+    "concat_after_decoder": False,
+    "postnet_pred": True,
+    "reduction_rate": 2,
+    # --- dropouts ----------------------------------------------------------
+    "dropout": 0.1,
+    "dropout_prenet": 0.5,
+    "dropout_postnet": 0.5,
+    "dropout_variance_adaptor": 0.5,
+    # --- losses ------------------------------------------------------------
+    "positive_weight": 5.0,           # stop-token BCE pos_weight
+    "channel_wise": False,
+    "channel_weight": None,
+    "use_ssim": False,
+    "use_cosine_emb_loss": False,
+    "time_weight": None,
+    # --- acoustic ----------------------------------------------------------
+    "pitch_pred": True,
+    "energy_pred": True,
+    "f0_min": 71.0,
+    "f0_max": 795.8,
+    "energy_min": 0.0,
+    "energy_max": 315.0,
+    "nbins": 256,
+    "log_offset": 1.0,
+    "accent_emb": False,
+    "gender_emb": False,
+    "use_hop": False,
+    # --- variance adaptor --------------------------------------------------
+    "use_rnn_length": False,
+    "use_pos": False,
+    "p_scheduled_sampling": 0.0,
+    # --- multi-speaker -----------------------------------------------------
+    "is_multi_speaker": False,
+    "num_speakers": None,
+    "spk_emb_type": None,             # speaker_id | x_vector
+    "spk_emb_dim": None,
+    "spk_emb_architecture": "",       # subset of {encoder, middle, decoder}
+    "different_spk_emb_samespeaker": False,
+    "spk_emb_vers": 1,
+    # --- GST ---------------------------------------------------------------
+    "gst": False,
+    # --- SQ-VAE / VQ -------------------------------------------------------
+    "use_sq_vae": False,
+    "vq_code": False,
+    # --- post-processing (mel-mel research line) ---------------------------
+    "version": None,                  # PostLowEnergy version 1-10
+    "mel_dim_post": 80,
+    "n_layer_post_model": 6,
+    "ff_conv_kernel_size_post": 5,
+    "concat_after_post": True,
+    "post_conformer": False,
+    "phone_embed": False,
+    "concat": False,
+    "semantic_mask": False,
+    "semantic_mask_phone": False,
+    "mask_probability": 0.06,
+    "mask": False,
+    "fix_mask": None,
+    "speaker_emb": False,
+    "ctc_out": False,
+    "spk_emb_postprocess_type": None,
+    "spk_emb_dim_postprocess": None,
+    "intermediate_layers_out": None,
+    # --- misc --------------------------------------------------------------
+    "save_attention_per_step": 1000,
+    # --- TPU-specific (new; no reference equivalent) -----------------------
+    "length_buckets": (128, 256, 512, 768, 1024, 1536, 2048),
+    "text_buckets": (32, 64, 96, 128, 192, 256),
+    "use_flash_attention": True,      # pallas kernel when maps not needed
+    "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
+    "remat": False,                   # jax.checkpoint the encoder/decoder
+}
+
+
+def _import_from_file(path: str):
+    """Import a Python config file as an anonymous module.
+
+    Reference behavior: ``utils/__init__.py:49-62``.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"hparams file not found: {path}")
+    name = "_tts_hparams_" + os.path.basename(path).replace(".", "_")
+    spec = importlib.util.spec_from_file_location(name, path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+class HParams:
+    """A plain hparams namespace with reference-compatible defaults.
+
+    Unlike the reference ``__HParams`` singleton this is instantiable and
+    reconfigurable; attribute access (``hp.vocab_size``) is the API.
+    """
+
+    def __init__(self, **overrides: Any):
+        for key, value in _DEFAULTS.items():
+            setattr(self, key, value)
+        self._source_file: Optional[str] = None
+        for key, value in overrides.items():
+            setattr(self, key, value)
+        self._validate()
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str, **overrides: Any) -> "HParams":
+        """Load a user ``.py`` hparams file, then apply ``overrides``."""
+        module = _import_from_file(path)
+        values = {
+            k: v for k, v in vars(module).items()
+            if not k.startswith("__") and not callable(v)
+            and not isinstance(v, type(sys))
+        }
+        values.update(overrides)
+        hp = cls(**values)
+        hp._source_file = os.path.abspath(path)
+        return hp
+
+    def configure(self, path: str) -> "HParams":
+        """Reference-style in-place configure (``hp.configure(file)``)."""
+        module = _import_from_file(path)
+        for k, v in vars(module).items():
+            if not k.startswith("__") and not callable(v) \
+                    and not isinstance(v, type(sys)):
+                setattr(self, k, v)
+        self._source_file = os.path.abspath(path)
+        self._validate()
+        return self
+
+    def override(self, **kwargs: Any) -> "HParams":
+        """CLI-style overrides (reference ``overwrite_hparams``)."""
+        for key, value in kwargs.items():
+            if value is not None:
+                setattr(self, key, value)
+        return self
+
+    # -- invariants ---------------------------------------------------------
+    def _validate(self) -> None:
+        if getattr(self, "spkr_emb", None) is not None:
+            raise ValueError(
+                "hp.spkr_emb is deprecated; use hp.spk_emb_architecture "
+                "(reference: utils/utils.py:201)")
+        if self.batch_size is not None and self.max_seqlen is not None:
+            raise ValueError(
+                "set batch_size XOR max_seqlen, not both "
+                "(reference: train.py:137)")
+        if self.spk_emb_postprocess_type == "x_vector" \
+                and self.spk_emb_dim_postprocess is None:
+            self.spk_emb_dim_postprocess = 512
+
+    # -- utilities ----------------------------------------------------------
+    def as_dict(self) -> Dict[str, Any]:
+        return {k: v for k, v in vars(self).items() if not k.startswith("_")}
+
+    def log_config(self) -> None:
+        """Print PID, JAX version and every hparam (utils/utils.py:57-66)."""
+        import jax
+        print(f"PID = {os.getpid()}")
+        print(f"JAX version = {jax.__version__}")
+        print(f"devices = {jax.devices()}")
+        for key, value in sorted(self.as_dict().items()):
+            print(f"{key} = {value}")
+
+    def snapshot(self, save_dir: str) -> Optional[str]:
+        """Copy the source hparams file into ``save_dir`` (if file-backed).
+
+        Reference: ``train_fastspeech2.py:469-474`` copies hparams.py into
+        the checkpoint directory so synthesis auto-discovers it.
+        """
+        os.makedirs(save_dir, exist_ok=True)
+        dest = os.path.join(save_dir, "hparams.py")
+        if self._source_file is not None:
+            if os.path.abspath(self._source_file) != os.path.abspath(dest):
+                shutil.copyfile(self._source_file, dest)
+        else:
+            with open(dest, "w") as fh:
+                for key, value in sorted(self.as_dict().items()):
+                    fh.write(f"{key} = {value!r}\n")
+        return dest
+
+    def __repr__(self) -> str:
+        return f"HParams({self.as_dict()!r})"
+
+
+def load_hparams(path: str, **overrides: Any) -> HParams:
+    """Convenience wrapper used by the CLIs."""
+    return HParams.from_file(path, **overrides)

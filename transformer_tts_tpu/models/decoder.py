@@ -1,0 +1,82 @@
+"""AR mel decoder stack.
+
+Reference: ``Models/decoder.py:29-56`` — DecoderPreNet -> alpha-PE -> N x
+DecoderLayer -> LayerNorm; returns (x, self-attns, cross-attns).
+
+Incremental decoding support (NOT in the reference — its synthesis loop
+re-forwards the whole prefix every step, test.py:158-184, O(T^3) total):
+``__call__`` accepts per-layer KV caches and a ``cache_index``; the
+caller drives a ``lax.scan``/``while_loop`` over steps. The Tacotron2
+zoneout-LSTM decoder variant lives in ``models/tacotron2_decoder.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from transformer_tts_tpu.models.layers import DecoderLayer
+from transformer_tts_tpu.models.prenets import DecoderPreNet
+from transformer_tts_tpu.ops.positional import PositionalEncoder
+
+
+class Decoder(nn.Module):
+    mel_dim: int                 # input dim (vocab_size in reference naming)
+    d_model: int
+    n_layers: int
+    heads: int
+    ff_kernel_size: int
+    concat_after: bool = False
+    dropout: float = 0.1
+    dropout_prenet: float = 0.5
+    spk_emb_dim: Optional[int] = None
+    output_type: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, trg, e_outputs, src_mask, trg_mask, spk_emb=None, *,
+                 train: bool = True, collect_attn: bool = False,
+                 caches=None, cache_index=None, pos_offset=0):
+        """Full-sequence forward, or single-step when ``caches`` given.
+
+        caches: list of n_layers (k_cache, v_cache) tuples, each
+        (B, H, T_max, d_k); ``trg`` is then the (B, 1, mel) current frame
+        group and ``trg_mask`` must mask cache rows >= cache_index+1.
+        """
+        x = DecoderPreNet(
+            self.mel_dim, self.d_model, dropout=self.dropout_prenet,
+            output_type=self.output_type, dtype=self.dtype,
+            name="decoder_prenet")(trg, train=train)
+        if self.output_type:
+            x = x.sum(axis=2)
+        x = PositionalEncoder(self.d_model, self.dropout, dtype=self.dtype,
+                              name="pe")(x, train=train, offset=pos_offset)
+        attns_self, attns_cross = [], []
+        new_caches = [] if caches is not None else None
+        for i in range(self.n_layers):
+            layer = DecoderLayer(
+                d_model=self.d_model, heads=self.heads,
+                ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
+                concat_after=self.concat_after,
+                spk_emb_dim=self.spk_emb_dim, dtype=self.dtype,
+                name=f"layers_{i}")
+            if caches is not None:
+                x, a1, a2, new_cache = layer(
+                    x, e_outputs, src_mask, trg_mask, spk_emb, train=train,
+                    collect_attn=collect_attn, self_cache=caches[i],
+                    cache_index=cache_index)
+                new_caches.append(new_cache)
+            else:
+                x, a1, a2 = layer(x, e_outputs, src_mask, trg_mask, spk_emb,
+                                  train=train, collect_attn=collect_attn)
+            if collect_attn:
+                attns_self.append(a1)
+                attns_cross.append(a2)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        a_self = jnp.stack(attns_self, 1) if collect_attn else None
+        a_cross = jnp.stack(attns_cross, 1) if collect_attn else None
+        if caches is not None:
+            return x, a_self, a_cross, new_caches
+        return x, a_self, a_cross

@@ -1,0 +1,186 @@
+"""Loss functions.
+
+Reference losses (train_fastspeech2.py:181-302, train.py:213-219):
+
+* FastSpeech2: L1(mel_pre, mel) + L1(mel_post, mel) + L1(logd, log(d+1))
+  + L1(f0) + L1(energy), optionally -SSIM(post, mel), SQ-VAE ELBO, or the
+  mse_loss_arelbo variant.
+* AR Transformer: L1(pre) + L1(post) + BCEWithLogits(stop, pos_weight=5).
+
+The reference averages L1 over the FULL padded tensor (plain nn.L1Loss()
+on padded batches) — padding influences the loss scale. We keep a
+``masked`` switch: ``False`` replicates the reference exactly; ``True``
+averages over valid positions only (recommended; documented delta).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def l1(pred: jnp.ndarray, target: jnp.ndarray,
+       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean absolute error; optional bool mask (True = count)."""
+    err = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if mask is None:
+        return err.mean()
+    mask = jnp.broadcast_to(mask, err.shape).astype(jnp.float32)
+    return (err * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def duration_loss(log_d_pred: jnp.ndarray, d_target: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None,
+                  log_offset: float = 1.0) -> jnp.ndarray:
+    """L1(logd_pred, log(d_target + log_offset)) (train_fastspeech2.py:245)."""
+    target = jnp.log(d_target.astype(jnp.float32) + log_offset)
+    return l1(log_d_pred, target, mask)
+
+
+def stop_token_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                    pos_weight: float = 5.0,
+                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """BCEWithLogits with positive-class weight (train.py:213-219).
+
+    target: 1.0 at stop frames (and padding, per the reference collate
+    which pads stop tokens with 1.0 — datasets_fastspeech2.py:741-747).
+    """
+    x = logits.astype(jnp.float32)
+    z = target.astype(jnp.float32)
+    # log(1+exp(-|x|)) stable form of BCE-with-logits with pos_weight
+    log_sig = jnp.logaddexp(0.0, -x)      # -log(sigmoid(x))
+    log_one_minus = jnp.logaddexp(0.0, x)  # -log(1-sigmoid(x))
+    per = pos_weight * z * log_sig + (1.0 - z) * log_one_minus
+    if mask is None:
+        return per.mean()
+    mask = jnp.broadcast_to(mask, per.shape).astype(jnp.float32)
+    return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def mse_loss_arelbo(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """AR-ELBO surrogate (train_fastspeech2.py:85-88, arXiv:2102.08663)."""
+    n = target.size // target.shape[0]
+    return 0.5 * n * jnp.log(jnp.mean(
+        (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def ssim(x: jnp.ndarray, y: jnp.ndarray, data_range: float = None,
+         window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Structural similarity on (B, H, W) images.
+
+    Replaces torchmetrics' StructuralSimilarityIndexMeasure used at
+    train_fastspeech2.py:289-292 (gaussian-window SSIM, k1=.01, k2=.03).
+    """
+    import jax
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    if data_range is None:
+        data_range = jnp.maximum(x.max() - x.min(), y.max() - y.min())
+    win = _gaussian_window(window_size, sigma)
+    kernel = jnp.outer(win, win)[None, None]  # (1,1,K,K) OIHW
+
+    def filt(img):
+        img = img[:, None]  # (B,1,H,W)
+        return jax.lax.conv_general_dilated(
+            img, kernel, window_strides=(1, 1), padding="VALID")[:, 0]
+
+    mu_x, mu_y = filt(x), filt(y)
+    sxx = filt(x * x) - mu_x ** 2
+    syy = filt(y * y) - mu_y ** 2
+    sxy = filt(x * y) - mu_x * mu_y
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
+    den = (mu_x ** 2 + mu_y ** 2 + c1) * (sxx + syy + c2)
+    return (num / den).mean()
+
+
+def fastspeech2_loss(
+    out,
+    mel: jnp.ndarray,
+    d_target: jnp.ndarray,
+    f0: Optional[jnp.ndarray],
+    energy: Optional[jnp.ndarray],
+    *,
+    src_mask: Optional[jnp.ndarray] = None,
+    mel_mask: Optional[jnp.ndarray] = None,
+    masked: bool = False,
+    use_ssim: bool = False,
+    use_sq_vae: bool = False,
+    log_offset: float = 1.0,
+):
+    """Total FastSpeech2 loss + component dict (train_fastspeech2.py:197-302).
+
+    ``out`` is a FastSpeech2Output. With ``masked=False`` (default) the
+    averages run over padded positions too, exactly like the reference's
+    plain ``nn.L1Loss()`` calls.
+    """
+    fmask = mel_mask[:, 0, :, None] if (masked and mel_mask is not None) \
+        else None
+    vmask = mel_mask[:, 0, :] if (masked and mel_mask is not None) else None
+    smask = src_mask[:, 0, :] if (masked and src_mask is not None) else None
+
+    logs = {}
+    if use_sq_vae:
+        mel_loss = mse_loss_arelbo(out.mel_pre, mel)
+    else:
+        mel_loss = l1(out.mel_pre, mel, fmask)
+    logs["loss_frame_before"] = mel_loss
+    total = mel_loss
+    if out.mel_post is not None:
+        post_loss = l1(out.mel_post, mel, fmask)
+        logs["loss_frame_after"] = post_loss
+        total = total + post_loss
+
+    d_loss = duration_loss(out.log_duration, d_target, smask, log_offset)
+    logs["loss_duration"] = d_loss
+    total = total + d_loss
+
+    if out.pitch is not None and f0 is not None:
+        f0_loss = l1(out.pitch, f0, vmask)
+        logs["loss_f0"] = f0_loss
+        total = total + f0_loss
+    if out.energy is not None and energy is not None:
+        e_loss = l1(out.energy, energy, vmask)
+        logs["loss_energy"] = e_loss
+        total = total + e_loss
+
+    if use_ssim and out.mel_post is not None:
+        s = -ssim(out.mel_post, mel)
+        logs["loss_ssim"] = s
+        total = total + s
+
+    if out.sq_vae_loss is not None:
+        logs["sq_vae_loss"] = out.sq_vae_loss
+        logs["sq_vae_perplexity"] = out.sq_vae_perplexity
+        total = total + out.sq_vae_loss
+
+    logs["loss_total"] = total
+    return total, logs
+
+
+def transformer_tts_loss(
+    mel_pre: jnp.ndarray,
+    mel_post: jnp.ndarray,
+    stop_logits: jnp.ndarray,
+    mel_target: jnp.ndarray,
+    stop_target: jnp.ndarray,
+    *,
+    positive_weight: float = 5.0,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """L1(pre) + L1(post) + weighted stop BCE (train.py:213-219)."""
+    fmask = mask[..., None] if mask is not None else None
+    pre = l1(mel_pre, mel_target, fmask)
+    post = l1(mel_post, mel_target, fmask)
+    stop = stop_token_loss(stop_logits, stop_target, positive_weight, mask)
+    total = pre + post + stop
+    return total, {"loss_frame_before": pre, "loss_frame_after": post,
+                   "loss_token": stop, "loss_total": total}

@@ -1,0 +1,63 @@
+"""Learning-rate schedules and optimizer construction.
+
+* Noam: ``warmup_factor * min(step^-0.5, step * warmup^-1.5) * d_model^-0.5``
+  (reference ``get_learning_rate``, utils/utils.py:204-215; applied manually
+  into param groups each step at train_fastspeech2.py:117-120 — here it's an
+  optax schedule, evaluated inside the jitted update).
+* Optimizer selection mirrors the drivers: 'Noam' -> Adam(beta2=0.98,
+  eps=1e-9 per the standard transformer recipe used with torch Adam
+  defaults in the reference) driven by the Noam schedule; 'RAdam' with a
+  fixed lr (train_fastspeech2.py:404-416); 'AdamW' likewise.
+* Gradient clipping by global norm (hp.clip, default 1.0:
+  train_fastspeech2.py:306-314).
+* Gradient accumulation via optax.MultiSteps (reference hp.accum_grad,
+  train.py:248-263).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+
+def noam_schedule(d_model: int, warmup_factor: float = 1.0,
+                  warmup_step: int = 4000) -> optax.Schedule:
+    import jax.numpy as jnp
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32) + 1.0  # reference steps start at 1
+        return (warmup_factor * (d_model ** -0.5)
+                * jnp.minimum(s ** -0.5, s * warmup_step ** -1.5))
+    return schedule
+
+
+def build_optimizer(
+    name: str,
+    d_model: int,
+    warmup_factor: float = 1.0,
+    warmup_step: int = 4000,
+    learning_rate: float = 1e-3,
+    clip: Optional[float] = 1.0,
+    accum_grad: int = 1,
+) -> optax.GradientTransformation:
+    name = name.lower()
+    chain = []
+    if clip is not None:
+        chain.append(optax.clip_by_global_norm(clip))
+    if name == "noam":
+        sched = noam_schedule(d_model, warmup_factor, warmup_step)
+        chain.append(optax.adam(learning_rate=sched, b1=0.9, b2=0.98,
+                                eps=1e-9))
+    elif name == "radam":
+        chain.append(optax.radam(learning_rate=learning_rate))
+    elif name == "adamw":
+        chain.append(optax.adamw(learning_rate=learning_rate))
+    elif name == "adam":
+        chain.append(optax.adam(learning_rate=learning_rate))
+    else:
+        raise ValueError(f"unknown optimizer: {name}")
+    tx = optax.chain(*chain)
+    if accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    return tx

@@ -1,0 +1,225 @@
+"""Train state and jitted/pjit train steps.
+
+Replaces the reference's per-step Python hot loop
+(train_fastspeech2.py:100-323) with a single compiled XLA program per
+(bucket-shape) signature:
+
+* forward + loss + backward + clip + optimizer update in one ``jit``;
+* bf16 compute policy when ``hp.amp`` (no GradScaler — bf16 has fp32 range;
+  documented behavioral delta vs torch.cuda.amp, SURVEY.md §2.7);
+* under a data mesh the gradient all-reduce is an XLA ICI collective
+  inserted by the compiler (the DDP backward hook equivalent);
+* BatchNorm batch statistics are computed on the global batch (SyncBN
+  equivalent, see parallel/mesh.py).
+
+The Noam LR lives inside the optimizer (train/schedule.py); the SQ-VAE
+temperature anneal ``1.0*exp(-1e-5*step)`` (train_fastspeech2_sq.py:136-140)
+is computed from ``state.step`` inside the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from transformer_tts_tpu.config import HParams
+from transformer_tts_tpu.models.fastspeech2 import FastSpeech2
+from transformer_tts_tpu.ops.masks import create_masks
+from transformer_tts_tpu.train import losses as L
+from transformer_tts_tpu.train.schedule import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    vq_stats: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def build_fastspeech2(hp: HParams, *, train_dtype=None,
+                      enable_post_model: bool = False) -> FastSpeech2:
+    """Instantiate FastSpeech2 from the hparams contract (SURVEY.md §2.1)."""
+    dtype = train_dtype if train_dtype is not None else (
+        jnp.bfloat16 if hp.amp else jnp.float32)
+    spk_arch = tuple(
+        s for s in ("encoder", "middle", "decoder")
+        if s in (hp.spk_emb_architecture or ""))
+    post_cfg = None
+    if enable_post_model:
+        post_cfg = dict(
+            out_size=hp.mel_dim_post, d_model=hp.d_model_encoder,
+            n_layers=hp.n_layer_post_model, heads=hp.n_head_encoder,
+            ff_kernel_size=hp.ff_conv_kernel_size_post,
+            concat_after=hp.concat_after_post, dropout=hp.dropout,
+            phone_embed=hp.phone_embed, concat=hp.concat,
+            spk_emb_postprocess_type=hp.spk_emb_postprocess_type,
+            spk_emb_dim=hp.spk_emb_dim_postprocess,
+            num_speakers=hp.num_speakers, vq_code=hp.vq_code,
+            post_conformer=hp.post_conformer,
+            intermediate_layers_out=hp.intermediate_layers_out)
+    return FastSpeech2(
+        vocab_size=hp.vocab_size, mel_dim=hp.mel_dim,
+        d_model_encoder=hp.d_model_encoder,
+        n_layer_encoder=hp.n_layer_encoder,
+        n_head_encoder=hp.n_head_encoder,
+        ff_conv_kernel_size_encoder=hp.ff_conv_kernel_size_encoder,
+        concat_after_encoder=hp.concat_after_encoder,
+        d_model_decoder=hp.d_model_decoder,
+        n_layer_decoder=hp.n_layer_decoder,
+        n_head_decoder=hp.n_head_decoder,
+        ff_conv_kernel_size_decoder=hp.ff_conv_kernel_size_decoder,
+        concat_after_decoder=hp.concat_after_decoder,
+        encoder_type=hp.encoder_type, decoder_type=hp.decoder_type,
+        reduction_rate=1 if hp.model.lower() == "fastspeech2" else
+        hp.reduction_rate,
+        postnet_pred=hp.postnet_pred, dropout=hp.dropout,
+        dropout_postnet=hp.dropout_postnet,
+        dropout_variance_adaptor=hp.dropout_variance_adaptor,
+        n_bins=hp.nbins, f0_min=hp.f0_min, f0_max=hp.f0_max,
+        energy_min=hp.energy_min, energy_max=hp.energy_max,
+        log_offset=hp.log_offset, pitch_pred=hp.pitch_pred,
+        energy_pred=hp.energy_pred, use_pos=hp.use_pos,
+        use_rnn_length=hp.use_rnn_length,
+        p_scheduled_sampling=hp.p_scheduled_sampling,
+        accent_emb=hp.accent_emb,
+        multi_speaker=hp.is_multi_speaker, spk_emb_dim=hp.spk_emb_dim,
+        spk_emb_architecture=spk_arch, use_hop=hp.use_hop,
+        use_sq_vae=hp.use_sq_vae,
+        enable_post_model=enable_post_model, post_model_cfg=post_cfg,
+        version=hp.version, semantic_mask=hp.semantic_mask,
+        semantic_mask_phone=hp.semantic_mask_phone,
+        mask_probability=hp.mask_probability,
+        dtype=dtype)
+
+
+def init_fastspeech2_state(
+    hp: HParams, rng: jax.Array, *,
+    max_text: int = 32, max_frames: int = 128,
+    enable_post_model: bool = False,
+) -> Tuple[FastSpeech2, TrainState]:
+    """Initialize params with tiny dummy shapes (shapes don't matter for
+    param structure — all ops are length-agnostic)."""
+    model = build_fastspeech2(hp, enable_post_model=enable_post_model)
+    b = 2
+    text = jnp.ones((b, max_text), jnp.int32)
+    pos_text = jnp.tile(jnp.arange(1, max_text + 1)[None], (b, 1))
+    src_mask, _ = create_masks(pos_text, None)
+    d_target = jnp.full((b, max_text), max(1, max_frames // max_text),
+                        jnp.int32)
+    p_target = jnp.zeros((b, max_frames))
+    e_target = jnp.zeros((b, max_frames))
+    kwargs = {}
+    if hp.is_multi_speaker:
+        kwargs["spk_emb"] = (
+            jnp.zeros((b,), jnp.int32)
+            if hp.spk_emb_type == "speaker_id"
+            else jnp.zeros((b, hp.spk_emb_dim)))
+    if hp.accent_emb:
+        kwargs["accent"] = jnp.zeros((b, max_text), jnp.int32)
+    if hp.use_hop:
+        kwargs["hop_size"] = jnp.zeros((b,), jnp.int32)
+    if hp.use_sq_vae:
+        kwargs["temperature"] = jnp.asarray(1.0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, text, src_mask, max_frames,
+        d_target, p_target, e_target, train=True, **kwargs)
+    tx = build_optimizer(
+        hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
+        hp.learning_rate, hp.clip, hp.accum_grad)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        vq_stats=variables.get("vq_stats", {}), tx=tx)
+    return model, state
+
+
+def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
+                                *, donate: bool = True):
+    """Build the jitted FS2 train step.
+
+    ``batch``: dict with keys text, pos_text, mel, pos_mel, alignment,
+    f0, energy and optional spk_emb / accent / hop_size. All arrays are
+    padded to static bucket shapes by the data layer.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        max_frames = batch["mel"].shape[1]
+        src_mask, mel_mask = create_masks(
+            batch["pos_text"], batch["pos_mel"], model="fastspeech2",
+            fix_mask=hp.fix_mask)
+        temperature = (jnp.exp(-1e-5 * state.step.astype(jnp.float32))
+                       if hp.use_sq_vae else None)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats,
+                         "vq_stats": state.vq_stats}
+            out, mutated = model.apply(
+                variables, batch["text"], src_mask, max_frames,
+                batch["alignment"], batch.get("f0"), batch.get("energy"),
+                mel_mask=mel_mask,
+                accent=batch.get("accent"), spk_emb=batch.get("spk_emb"),
+                spk_emb_post=batch.get("spk_emb_post"),
+                hop_size=batch.get("hop_size"), temperature=temperature,
+                train=True, rngs={"dropout": rng},
+                mutable=["batch_stats", "vq_stats"])
+            total, logs = L.fastspeech2_loss(
+                out, batch["mel"], batch["alignment"],
+                batch.get("f0"), batch.get("energy"),
+                src_mask=src_mask, mel_mask=mel_mask,
+                masked=False, use_ssim=hp.use_ssim,
+                use_sq_vae=hp.use_sq_vae, log_offset=hp.log_offset)
+            return total, (logs, mutated)
+
+        (loss, (logs, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            vq_stats=mutated.get("vq_stats", state.vq_stats))
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_fastspeech2_eval_step(model: FastSpeech2, hp: HParams):
+    """Jitted teacher-forced forward for dev loss / teacher-forcing gen."""
+
+    def eval_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        max_frames = batch["mel"].shape[1]
+        src_mask, mel_mask = create_masks(
+            batch["pos_text"], batch["pos_mel"], model="fastspeech2")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "vq_stats": state.vq_stats}
+        out = model.apply(
+            variables, batch["text"], src_mask, max_frames,
+            batch["alignment"], batch.get("f0"), batch.get("energy"),
+            mel_mask=mel_mask, accent=batch.get("accent"),
+            spk_emb=batch.get("spk_emb"), hop_size=batch.get("hop_size"),
+            train=False)
+        total, logs = L.fastspeech2_loss(
+            out, batch["mel"], batch["alignment"], batch.get("f0"),
+            batch.get("energy"), src_mask=src_mask, mel_mask=mel_mask,
+            masked=False, log_offset=hp.log_offset)
+        return out, logs
+
+    return jax.jit(eval_fn)
