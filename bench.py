@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: FastSpeech2 batch-1 NAR synthesis RTF on the parity
+config (d_model 384, 6+6 layers, 4 heads, mel 80 — utils/default.yaml),
+measured as jitted-forward wall time / synthesized audio seconds
+(22.05 kHz, hop 256 — LJSpeech framing, BASELINE.json config #1).
+Durations are teacher-forced to a realistic 6 frames/phone so the mel
+length (and thus the audio denominator) is defined for an untrained net.
+
+Also reported (extra keys in the same JSON object): training-step
+throughput in mel frames/sec/chip on a frame-budget batch, matching
+BASELINE.md's metrics of record.
+
+vs_baseline: target RTF is 0.01 (BASELINE.md north-star); the ratio
+reported is target/measured, so > 1.0 beats the target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+FRAME_SECONDS = 256 / 22050.0     # LJSpeech hop/sr
+TARGET_RTF = 0.01                 # BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import HParams
+    from transformer_tts_tpu.ops.masks import create_masks
+    from transformer_tts_tpu.train.trainer import (
+        init_fastspeech2_state, make_fastspeech2_train_step)
+
+    hp = HParams(amp=True, batch_size=16)
+    rng = jax.random.PRNGKey(0)
+    model, state = init_fastspeech2_state(hp, rng)
+
+    # ---------------- synthesis RTF (batch=1) ----------------
+    l, t = 128, 768               # 128 phones x 6 frames -> ~8.9 s audio
+    rs = np.random.RandomState(0)
+    text = jnp.asarray(rs.randint(1, hp.vocab_size, (1, l)).astype(np.int32))
+    pos_text = jnp.tile(jnp.arange(1, l + 1)[None], (1, 1))
+    src_mask, _ = create_masks(pos_text, None)
+    d_target = jnp.full((1, l), t // l, jnp.int32)
+
+    @jax.jit
+    def synth(params, batch_stats, text, src_mask, d_target):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats, "vq_stats": {}},
+            text, src_mask, t, d_target, train=False)
+        return out.mel_post
+
+    mel = synth(state.params, state.batch_stats, text, src_mask, d_target)
+    mel.block_until_ready()       # compile
+    n_iter = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        mel = synth(state.params, state.batch_stats, text, src_mask,
+                    d_target)
+    mel.block_until_ready()
+    synth_time = (time.perf_counter() - t0) / n_iter
+    audio_seconds = t * FRAME_SECONDS
+    rtf = synth_time / audio_seconds
+
+    # ---------------- training throughput ----------------
+    b, lt, tt = 16, 64, 640       # 10240 mel frames per step
+    batch = {
+        "text": jnp.asarray(
+            rs.randint(1, hp.vocab_size, (b, lt)).astype(np.int32)),
+        "pos_text": jnp.tile(jnp.arange(1, lt + 1)[None], (b, 1)),
+        "mel": jnp.asarray(rs.randn(b, tt, hp.mel_dim).astype(np.float32)),
+        "pos_mel": jnp.tile(jnp.arange(1, tt + 1)[None], (b, 1)),
+        "alignment": jnp.full((b, lt), tt // lt, jnp.int32),
+        "f0": jnp.asarray(rs.rand(b, tt).astype(np.float32) * 300),
+        "energy": jnp.asarray(rs.rand(b, tt).astype(np.float32) * 100),
+    }
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    step_rng = jax.random.PRNGKey(1)
+    state2, logs = step_fn(state, batch, step_rng)     # compile
+    jax.block_until_ready(logs["loss_total"])
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state2, logs = step_fn(state2, batch, step_rng)
+    jax.block_until_ready(logs["loss_total"])
+    step_time = (time.perf_counter() - t0) / n_steps
+    frames_per_sec = (b * tt) / step_time
+
+    print(json.dumps({
+        "metric": "fastspeech2_synthesis_rtf",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "synth_ms_per_utt": round(synth_time * 1000, 3),
+        "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+        "train_step_ms": round(step_time * 1000, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

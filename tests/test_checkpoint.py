@@ -1,0 +1,75 @@
+"""Checkpoint save/restore/averaging tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transformer_tts_tpu.config import HParams
+from transformer_tts_tpu.train.checkpoint import (
+    save_checkpoint, restore_checkpoint, restore_params,
+    average_checkpoints, should_save, list_epochs, prune_checkpoints)
+from transformer_tts_tpu.train.trainer import init_fastspeech2_state
+
+
+def small_state():
+    hp = HParams(d_model_encoder=16, d_model_decoder=16, n_layer_encoder=1,
+                 n_layer_decoder=1, n_head_encoder=2, n_head_decoder=2,
+                 vocab_size=12, mel_dim=4, amp=False, batch_size=2)
+    return init_fastspeech2_state(hp, jax.random.PRNGKey(0), max_text=8,
+                                  max_frames=16)
+
+
+def test_should_save_matches_reference_policy():
+    # last 10 epochs always (train_fastspeech2.py:316)
+    assert should_save(195, 200, 50)
+    assert should_save(190, 200, 50)
+    # window around save_per_epoch multiples (:318)
+    assert should_save(50, 200, 50)
+    assert should_save(45, 200, 50)
+    assert should_save(41, 200, 50)   # 41 % 50 = 41 >= 40
+    assert should_save(40, 200, 50)   # 40 % 50 = 40 >= 40
+    assert not should_save(39, 200, 50)
+    assert not should_save(25, 200, 50)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    _, state = small_state()
+    state = state.replace(step=jnp.asarray(123, jnp.int32))
+    save_checkpoint(str(tmp_path), state, epoch=7)
+    _, fresh = small_state()
+    restored, epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert epoch == 7
+    assert int(restored.step) == 123
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_average_checkpoints(tmp_path):
+    _, state = small_state()
+    ones = jax.tree.map(jnp.ones_like, state.params)
+    threes = jax.tree.map(lambda x: 3.0 * jnp.ones_like(x), state.params)
+    save_checkpoint(str(tmp_path), state.replace(params=ones), epoch=1,
+                    with_optimizer=False)
+    save_checkpoint(str(tmp_path), state.replace(params=threes), epoch=2,
+                    with_optimizer=False)
+    avg, path = average_checkpoints(str(tmp_path), 1, 2, state.params)
+    for leaf in jax.tree.leaves(avg):
+        np.testing.assert_allclose(np.asarray(leaf), 2.0)
+    # the averaged file is loadable as params-only
+    p = restore_params(path, state.params)
+    for leaf in jax.tree.leaves(p):
+        np.testing.assert_allclose(np.asarray(leaf), 2.0)
+
+
+def test_prune_keeps_reference_retention(tmp_path):
+    _, state = small_state()
+    for e in [25, 41, 50, 55]:
+        save_checkpoint(str(tmp_path), state, epoch=e,
+                        with_optimizer=False)
+    prune_checkpoints(str(tmp_path), current_epoch=56, max_epoch=200,
+                      save_per_epoch=50)
+    kept = list_epochs(str(tmp_path))
+    assert 25 not in kept       # outside any retention window
+    assert {41, 50, 55} <= set(kept)

@@ -1,0 +1,80 @@
+"""Data-parallel pjit tests on an 8-fake-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformer_tts_tpu.config import HParams
+from transformer_tts_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, shard_batch)
+from transformer_tts_tpu.train.trainer import (
+    init_fastspeech2_state, make_fastspeech2_train_step)
+
+
+def tiny_hp(**kw):
+    return HParams(
+        d_model_encoder=32, d_model_decoder=32, n_layer_encoder=1,
+        n_layer_decoder=1, n_head_encoder=2, n_head_decoder=2,
+        vocab_size=20, mel_dim=8, amp=False, optimizer="Noam",
+        warmup_step=100, batch_size=8, **kw)
+
+
+def make_batch(seed, b=8, l=8, t=24, mel_dim=8, vocab=20):
+    rs = np.random.RandomState(seed)
+    return {
+        "text": jnp.asarray(rs.randint(1, vocab, (b, l)).astype(np.int32)),
+        "pos_text": jnp.tile(jnp.arange(1, l + 1)[None], (b, 1)),
+        "mel": jnp.asarray(rs.randn(b, t, mel_dim).astype(np.float32)),
+        "pos_mel": jnp.tile(jnp.arange(1, t + 1)[None], (b, 1)),
+        "alignment": jnp.full((b, l), t // l, jnp.int32),
+        "f0": jnp.asarray(rs.rand(b, t).astype(np.float32) * 200),
+        "energy": jnp.asarray(rs.rand(b, t).astype(np.float32) * 50),
+    }
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_sharded_train_step_matches_single_device():
+    """The pjit step on a 8-way data mesh must equal the unsharded step."""
+    hp = tiny_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(0)
+    rng = jax.random.PRNGKey(1)
+
+    # single device
+    state1, logs1 = step_fn(state, batch, rng)
+
+    # sharded: params replicated, batch split over data axis
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    state_r = jax.device_put(state, rep)
+    batch_s = shard_batch(batch, mesh)
+    state2, logs2 = step_fn(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(
+        float(logs1["loss_total"]), float(logs2["loss_total"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(logs1["grad_norm"]), float(logs2["grad_norm"]), rtol=1e-4)
+    # Per-parameter comparison after an Adam step is not meaningful (the
+    # first-step update is ~sign(g), amplifying reduction-order noise);
+    # run a second step on each and require the losses to keep agreeing.
+    state1b, logs1b = step_fn(state1, batch, rng)
+    state2b, logs2b = step_fn(state2, batch, rng)
+    np.testing.assert_allclose(
+        float(logs1b["loss_total"]), float(logs2b["loss_total"]), rtol=1e-3)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    x = jnp.zeros((8, 4))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert len(xs.sharding.device_set) == 8

@@ -1,0 +1,107 @@
+"""Batch samplers and host sharding.
+
+* ``LengthsBatchSampler`` — frame-budget batching: greedily packs
+  consecutive utterances while ``max_len_in_batch * (count+1) <= budget``
+  (reference: datasets_fastspeech2.py:749-813). Long utterances get small
+  batches; short ones large batches — constant compute per step.
+* ``NumBatchSampler`` — fixed batch size with a remainder batch
+  (datasets_fastspeech2.py:815-845).
+* ``shard_batches`` — the DistributedSamplerWrapper contract
+  (datasets_fastspeech2.py:847-919): the *batch list* is sharded across
+  processes; each host keeps batches ``i % num_shards == shard``. Batch
+  count is padded by wrap-around so every host sees the same number of
+  steps (the reference pads with repeated samples the same way).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class LengthsBatchSampler:
+    def __init__(self, lengths: np.ndarray, n_lengths: int, *,
+                 shuffle: bool = True, shuffle_one_time: bool = False,
+                 reverse: bool = False, seed: int = 77):
+        if shuffle and reverse:
+            raise ValueError("shuffle and reverse cannot both be True")
+        self.lengths_np = np.asarray(lengths)
+        self.n_lengths = n_lengths
+        self.shuffle = shuffle
+        self.shuffle_one_time = shuffle_one_time
+        self.reverse = reverse
+        self._rng = random.Random(seed)
+        self.all_indices = self._batch_indices()
+        if shuffle_one_time:
+            self._rng.shuffle(self.all_indices)
+
+    def _batch_indices(self) -> List[List[int]]:
+        # greedy consecutive packing (datasets_fastspeech2.py:784-801)
+        all_indices = []
+        count = 0
+        n = len(self.lengths_np)
+        while count + 1 < n:
+            indices: List[int] = []
+            max_len = 0
+            while count < n:
+                curr = int(self.lengths_np[count])
+                if max(max_len, curr) * (len(indices) + 1) > self.n_lengths:
+                    break
+                max_len = max(max_len, curr)
+                indices.append(count)
+                count += 1
+            if not indices:   # single utterance over budget: emit alone
+                indices.append(count)
+                count += 1
+            all_indices.append(indices)
+        return all_indices
+
+    def __iter__(self):
+        if self.shuffle and not self.shuffle_one_time:
+            self._rng.shuffle(self.all_indices)
+        if self.reverse:
+            self.all_indices.reverse()
+        yield from self.all_indices
+
+    def __len__(self) -> int:
+        return len(self.all_indices)
+
+
+class NumBatchSampler:
+    def __init__(self, dataset_len: int, batch_size: int, *,
+                 drop_last: bool = False, shuffle: bool = True,
+                 seed: int = 77):
+        self.batch_size = batch_size
+        self.dataset_len = dataset_len
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self.all_indices = self._batch_indices()
+
+    def _batch_indices(self) -> List[List[int]]:
+        n, bs = self.dataset_len, self.batch_size
+        mod = n % bs
+        full = np.arange(n - mod).reshape(-1, bs).tolist() if n >= bs else []
+        if mod != 0 and not self.drop_last:
+            full.append(np.arange(n - mod, n).tolist())
+        return full
+
+    def __iter__(self):
+        if self.shuffle:
+            self._rng.shuffle(self.all_indices)
+        yield from self.all_indices
+
+    def __len__(self) -> int:
+        return len(self.all_indices)
+
+
+def shard_batches(batches: Sequence[Sequence[int]], shard: int,
+                  num_shards: int) -> List[List[int]]:
+    """Disjoint batch subsets per host, padded to equal step counts."""
+    batches = [list(b) for b in batches]
+    total = len(batches)
+    per = -(-total // num_shards)   # ceil
+    padded = batches + batches[: per * num_shards - total]
+    return padded[shard::num_shards]

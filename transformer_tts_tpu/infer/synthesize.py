@@ -1,0 +1,161 @@
+"""Synthesis paths.
+
+* FastSpeech2: one NAR forward (reference ``test_fastspeech2.py:146-204``),
+  optionally with pitch/duration perturbation factors
+  (test_fastspeech2.py:93-94 --pitch_perturbation/--duration_perturbation
+  sample a factor from {0.8,0.9,1.0,1.1,1.2}).
+* Transformer-TTS: incremental AR decode under ``lax.while_loop`` with
+  per-layer KV caches and the reference stop rule
+  (sigmoid(stop) > 0.5, 500-step cap — test.py:158-184), then one causal
+  postnet pass over the whole decoded sequence (the postnet is causal, so
+  end-of-decode application equals per-step application).
+
+Both paths are jittable end-to-end with static shapes; de-normalization
+(out * sqrt(var) + mean — test_fastspeech2.py:177-180) happens on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_tts_tpu.models.fastspeech2 import FastSpeech2
+from transformer_tts_tpu.models.transformer_tts import TransformerTTS
+from transformer_tts_tpu.ops.masks import pad_mask
+
+PERTURBATION_CHOICES = (0.8, 0.9, 1.0, 1.1, 1.2)  # varianceadaptor.py:77
+MAX_AR_STEPS = 500                                # test.py:158
+
+
+def sample_perturbation(rng: Optional[random.Random] = None) -> float:
+    r = rng or random
+    return r.choice(PERTURBATION_CHOICES)
+
+
+def denormalize(mel: jnp.ndarray, mean: jnp.ndarray,
+                var: jnp.ndarray) -> jnp.ndarray:
+    """out * sqrt(var) + mean (test_fastspeech2.py:177-180)."""
+    return mel * jnp.sqrt(var) + mean
+
+
+@functools.partial(jax.jit, static_argnames=("model", "max_frames",
+                                             "pitch_scale",
+                                             "duration_scale"))
+def synthesize_fastspeech2(
+    model: FastSpeech2,
+    variables,
+    text: jnp.ndarray,
+    pos_text: jnp.ndarray,
+    max_frames: int,
+    spk_emb: Optional[jnp.ndarray] = None,
+    accent: Optional[jnp.ndarray] = None,
+    hop_size: Optional[jnp.ndarray] = None,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+    *,
+    pitch_scale: float = 1.0,
+    duration_scale: float = 1.0,
+):
+    """One NAR forward; returns (mel (B,T,mel), mel_len (B,), durations)."""
+    src_mask = pad_mask(pos_text)
+    out = model.apply(
+        variables, text, src_mask, max_frames, accent=accent,
+        spk_emb=spk_emb, hop_size=hop_size, train=False,
+        pitch_scale=pitch_scale, duration_scale=duration_scale)
+    mel = out.mel_post if out.mel_post is not None else out.mel_pre
+    if mean is not None and var is not None:
+        mel = denormalize(mel, mean, var)
+    durations = jnp.round(
+        jnp.exp(out.log_duration) - model.log_offset).clip(0)
+    durations = jnp.where(src_mask[:, 0, :], durations, 0)
+    return mel, out.mel_len, durations.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "max_steps"))
+def synthesize_transformer_tts(
+    model: TransformerTTS,
+    variables,
+    text: jnp.ndarray,
+    pos_text: jnp.ndarray,
+    spk_emb: Optional[jnp.ndarray] = None,
+    ref_mel: Optional[jnp.ndarray] = None,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+    *,
+    max_steps: int = MAX_AR_STEPS,
+):
+    """Incremental AR synthesis with KV caches.
+
+    Returns (mel (B, max_steps*r, mel), lengths (B,) in frames).
+    Positions beyond a sample's length are zero.
+    """
+    if model.ff_conv_kernel_size_decoder != 1:
+        raise ValueError(
+            "incremental decode requires ff_conv_kernel_size_decoder == 1 "
+            "(the decoder conv-FFN is SAME-padded and only causal at k=1)")
+    b = text.shape[0]
+    r = model.reduction_rate
+    mel_dim = model.mel_dim
+    heads = model.n_head_decoder
+    d_k = model.d_model_decoder // heads
+    n_layers = model.n_layer_decoder
+    dtype = model.dtype
+
+    src_mask = pad_mask(pos_text)
+    e_outputs, _ = model.apply(
+        variables, text, src_mask, spk_emb, ref_mel, train=False,
+        method=TransformerTTS.encode)
+
+    caches = tuple(
+        (jnp.zeros((b, heads, max_steps, d_k), dtype),
+         jnp.zeros((b, heads, max_steps, d_k), dtype))
+        for _ in range(n_layers))
+
+    init = dict(
+        step=jnp.zeros((), jnp.int32),
+        prev=jnp.zeros((b, 1, mel_dim), dtype),
+        caches=caches,
+        groups=jnp.zeros((b, max_steps, mel_dim * r), jnp.float32),
+        done=jnp.zeros((b,), bool),
+        length=jnp.full((b,), max_steps, jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["step"] < max_steps,
+                               ~jnp.all(c["done"]))
+
+    def body(c):
+        group, stop, new_caches = model.apply(
+            variables, c["prev"], e_outputs, src_mask, c["caches"],
+            c["step"], spk_emb, method=TransformerTTS.decode_step)
+        group_f32 = group.astype(jnp.float32)
+        groups = jax.lax.dynamic_update_slice_in_dim(
+            c["groups"], group_f32, c["step"], axis=1)
+        # stop rule (test.py:178-184): mean over the r stop logits
+        p_stop = jax.nn.sigmoid(stop.astype(jnp.float32))[:, 0]
+        stop_now = jnp.mean(p_stop, axis=-1) > 0.5
+        newly_done = stop_now & ~c["done"]
+        length = jnp.where(newly_done, c["step"] + 1, c["length"])
+        # next input: first frame of the predicted group (test.py:171-176)
+        next_frame = group[:, 0, :mel_dim][:, None, :].astype(dtype)
+        return dict(step=c["step"] + 1, prev=next_frame, caches=new_caches,
+                    groups=groups, done=c["done"] | stop_now, length=length)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    mel_pre_groups = final["groups"]                       # (B, S, mel*r)
+    mel_post_groups = model.apply(
+        variables, mel_pre_groups.astype(dtype), train=False,
+        method=TransformerTTS.apply_postnet).astype(jnp.float32)
+    mel = mel_post_groups.reshape(b, max_steps * r, mel_dim)
+    lengths = final["length"] * r
+    valid = jnp.arange(max_steps * r)[None, :] < lengths[:, None]
+    mel = jnp.where(valid[:, :, None], mel, 0.0)
+    if mean is not None and var is not None:
+        mel = jnp.where(valid[:, :, None], denormalize(mel, mean, var), 0.0)
+    return mel, lengths

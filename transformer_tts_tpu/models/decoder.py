@@ -78,5 +78,5 @@ class Decoder(nn.Module):
         a_self = jnp.stack(attns_self, 1) if collect_attn else None
         a_cross = jnp.stack(attns_cross, 1) if collect_attn else None
         if caches is not None:
-            return x, a_self, a_cross, new_caches
+            return x, a_self, a_cross, tuple(new_caches)
         return x, a_self, a_cross

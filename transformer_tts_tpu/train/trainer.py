@@ -29,6 +29,8 @@ from flax import struct
 
 from transformer_tts_tpu.config import HParams
 from transformer_tts_tpu.models.fastspeech2 import FastSpeech2
+from transformer_tts_tpu.models.transformer_tts import (
+    TransformerTTS, build_transformer_tts)
 from transformer_tts_tpu.ops.masks import create_masks
 from transformer_tts_tpu.train import losses as L
 from transformer_tts_tpu.train.schedule import build_optimizer
@@ -223,3 +225,89 @@ def make_fastspeech2_eval_step(model: FastSpeech2, hp: HParams):
         return out, logs
 
     return jax.jit(eval_fn)
+
+
+# --------------------------------------------------------------------------
+# AR Transformer-TTS
+# --------------------------------------------------------------------------
+
+def init_transformer_state(hp: HParams, rng: jax.Array, *,
+                           max_text: int = 32,
+                           max_frames: int = 64) -> Tuple[TransformerTTS,
+                                                          TrainState]:
+    model = build_transformer_tts(hp)
+    b, r = 2, hp.reduction_rate
+    t = max_frames // r - 1
+    src = jnp.ones((b, max_text), jnp.int32)
+    trg = jnp.zeros((b, t, hp.mel_dim))
+    pos_text = jnp.tile(jnp.arange(1, max_text + 1)[None], (b, 1))
+    pos_mel = jnp.tile(jnp.arange(1, t + 1)[None], (b, 1))
+    src_mask, trg_mask = create_masks(pos_text, pos_mel, model="transformer")
+    kwargs = {}
+    if hp.is_multi_speaker:
+        kwargs["spk_emb"] = (
+            jnp.zeros((b,), jnp.int32) if hp.spk_emb_type == "speaker_id"
+            else jnp.zeros((b, hp.spk_emb_dim)))
+    variables = model.init({"params": rng, "dropout": rng}, src, trg,
+                           src_mask, trg_mask, train=True, **kwargs)
+    tx = build_optimizer(
+        hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
+        hp.learning_rate, hp.clip, hp.accum_grad)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        vq_stats=variables.get("vq_stats", {}), tx=tx)
+    return model, state
+
+
+def make_transformer_train_step(model: TransformerTTS, hp: HParams,
+                                *, donate: bool = True):
+    """AR teacher-forcing train step (train.py:156-267).
+
+    ``batch``: text, pos_text, mel (B, T, mel) with the go-frame prepended
+    and T a multiple of r (data layer contract), pos_mel, stop_token
+    (B, T) with 1.0 beyond mel_length.
+    """
+    r = model.reduction_rate
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        mel = batch["mel"]
+        b, total_frames, mel_dim = mel.shape
+        if r > 1:
+            mel_input = mel[:, :-r:r, :]              # train.py:186
+            pos_mel = batch["pos_mel"][:, :-r:r]
+        else:
+            mel_input = mel[:, :-1, :]
+            pos_mel = batch["pos_mel"][:, :-1]
+        src_mask, trg_mask = create_masks(
+            batch["pos_text"], pos_mel, model="transformer")
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, batch["text"], mel_input, src_mask, trg_mask,
+                batch.get("spk_emb"), train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            t = out.mel_pre.shape[1]
+            mel_pre = out.mel_pre.reshape(b, t * r, mel_dim)
+            mel_post = out.mel_post.reshape(b, t * r, mel_dim)
+            stop = out.stop_token.reshape(b, t * r)
+            total, logs = L.transformer_tts_loss(
+                mel_pre, mel_post, stop,
+                mel[:, r:, :], batch["stop_token"][:, r:],
+                positive_weight=hp.positive_weight)
+            return total, (logs, mutated)
+
+        (loss, (logs, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated.get("batch_stats", state.batch_stats))
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
