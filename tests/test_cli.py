@@ -1,0 +1,108 @@
+"""End-to-end CLI tests on a synthetic corpus (train -> avg -> synth)."""
+
+import os
+
+import numpy as np
+import pytest
+
+MEL_DIM = 8
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rs = np.random.RandomState(0)
+    lines = []
+    test_lines = []
+    for i in range(6):
+        t_text = rs.randint(4, 8)
+        frames_per = 3
+        t_mel = t_text * frames_per
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), frames_per, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+        test_lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(test_lines[:2]) + "\n")
+    return tmp_path
+
+
+def write_hp(tmp_path, corpus, **extra):
+    save_dir = tmp_path / "ckpt"
+    cfg = dict(
+        architecture="text-mel", model="Fastspeech2", vocab_size=20,
+        mel_dim=MEL_DIM, d_model_encoder=16, d_model_decoder=16,
+        n_layer_encoder=1, n_layer_decoder=1, n_head_encoder=2,
+        n_head_decoder=2, batch_size=3, max_epoch=2, save_per_epoch=1,
+        warmup_step=10, amp=False,
+        train_script=str(corpus / "train.txt"),
+        test_script=str(corpus / "test.txt"),
+        save_dir=str(save_dir),
+        text_buckets=(8, 16), length_buckets=(32, 64),
+    )
+    cfg.update(extra)
+    hp_path = tmp_path / "hparams.py"
+    hp_path.write_text(
+        "\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
+    return str(hp_path), str(save_dir)
+
+
+def test_train_synthesize_average_roundtrip(corpus, tmp_path):
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    from transformer_tts_tpu.cli import average_checkpoints as cli_avg
+    from transformer_tts_tpu.cli import teacher_forcing as cli_tf
+
+    hp_path, save_dir = write_hp(tmp_path, corpus)
+    cli_train.main(["--hp_file", hp_path])
+    assert os.path.isdir(os.path.join(save_dir, "epoch_1"))
+    assert os.path.isdir(os.path.join(save_dir, "epoch_2"))
+    # snapshot exists -> synthesis auto-discovers config
+    assert os.path.exists(os.path.join(save_dir, "hparams.py"))
+
+    out_dir = str(tmp_path / "gen")
+    cli_synth.main(["--load_name", save_dir, "--save", out_dir,
+                    "--max_frames", "64"])
+    assert os.path.exists(os.path.join(out_dir, "0.npy"))
+    assert os.path.exists(os.path.join(out_dir, "0_alignment.npy"))
+
+    cli_avg.main(["--save_dir", save_dir, "--start_epoch", "1",
+                  "--end_epoch", "2"])
+    avg_dir = os.path.join(save_dir, "average_epoch1-epoch2")
+    assert os.path.isdir(avg_dir)
+    out_dir2 = str(tmp_path / "gen_avg")
+    cli_synth.main(["--load_name", avg_dir, "--save", out_dir2,
+                    "--max_frames", "64"])
+    assert os.path.exists(os.path.join(out_dir2, "0.npy"))
+
+    tf_dir = str(tmp_path / "tf")
+    cli_tf.main(["--load_name", save_dir, "--out_dir", tf_dir])
+    gens = [f for f in os.listdir(tf_dir) if f.endswith("_gen.npy")]
+    assert len(gens) == 6
+    # teacher-forced mel has ground-truth length
+    g0 = np.load(os.path.join(tf_dir, "utt0_gen.npy"))
+    src = np.load(str(corpus / "utt0.npy"))
+    assert g0.shape == src.shape
+
+
+def test_resume_from_checkpoint(corpus, tmp_path):
+    from transformer_tts_tpu.cli import train as cli_train
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1)
+    cli_train.main(["--hp_file", hp_path])
+    hp_path2, _ = write_hp(tmp_path, corpus, max_epoch=2,
+                           loaded_epoch=1, loaded_dir=str(save_dir))
+    cli_train.main(["--hp_file", hp_path2])
+    assert os.path.isdir(os.path.join(save_dir, "epoch_2"))
+
+
+def test_parse_hparams_cli(corpus, tmp_path, capsys):
+    from transformer_tts_tpu.cli import parse_hparams
+    hp_path, _ = write_hp(tmp_path, corpus)
+    parse_hparams.main(["--hp_file", hp_path, "--key", "vocab_size"])
+    assert capsys.readouterr().out.strip() == "20"

@@ -1,0 +1,182 @@
+"""Synthesis CLI (the reference's test_*.py family).
+
+``python -m transformer_tts_tpu.cli.synthesize --load_name <ckpt_dir> \
+      [--test_script s.txt] [--save out_dir] [--pitch_perturbation] \
+      [--duration_perturbation] [--epoch N]``
+
+Reference behaviors kept:
+* hparams auto-discovered from the checkpoint's directory
+  (test_fastspeech2.py:99-103 — the config travels with the checkpoint);
+* NAR FastSpeech2: one forward per utterance, de-normalized mel saved as
+  ``<idx>.npy`` plus predicted durations as ``<idx>_alignment.npy``
+  (test_fastspeech2.py:199-201);
+* AR Transformer: KV-cached incremental decode (stop rule sigmoid>0.5,
+  cap 500) instead of the reference's full-prefix re-forward;
+* elapsed / total time prints (test_fastspeech2.py:203-204) — the RTF
+  measurement hook;
+* --pitch_perturbation / --duration_perturbation sample a factor from
+  {0.8, 0.9, 1.0, 1.1, 1.2} per utterance (test_fastspeech2.py:93-94).
+* mel-mel post-processing (test_fastspeech2_dev.py): --post_model <dir>
+  runs the PostLowEnergy student on top, replace (v<=2,4) or residual
+  (v3,5,6) per hp.version (:207-227).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_name", type=str, required=True,
+                        help="checkpoint dir (save_dir or epoch_N)")
+    parser.add_argument("--hp_file", type=str, default=None)
+    parser.add_argument("--test_script", type=str, default=None)
+    parser.add_argument("--save", type=str, default="./generated")
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--pitch_perturbation", action="store_true")
+    parser.add_argument("--duration_perturbation", action="store_true")
+    parser.add_argument("--post_model", type=str, default=None,
+                        help="mel-mel student checkpoint dir (dev path)")
+    parser.add_argument("--max_frames", type=int, default=2048)
+    args = parser.parse_args(argv)
+
+    import random
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import load_hparams
+    from transformer_tts_tpu.data import TTSDataset, collate
+    from transformer_tts_tpu.data.readers import Normalizer
+    from transformer_tts_tpu.data.batching import pick_bucket
+    from transformer_tts_tpu.infer.synthesize import (
+        synthesize_fastspeech2, synthesize_transformer_tts,
+        sample_perturbation)
+    from transformer_tts_tpu.ops.masks import pad_mask
+    from transformer_tts_tpu.train import checkpoint as ckpt
+    from transformer_tts_tpu.train.trainer import (
+        init_fastspeech2_state, init_transformer_state)
+
+    load_dir = args.load_name
+    if os.path.basename(load_dir).startswith(("epoch_", "average_")):
+        hp_dir = os.path.dirname(load_dir)
+    else:
+        hp_dir = load_dir
+    hp_file = args.hp_file or os.path.join(hp_dir, "hparams.py")
+    hp = load_hparams(hp_file)
+    if args.test_script:
+        hp.test_script = args.test_script
+    os.makedirs(args.save, exist_ok=True)
+
+    is_ar = hp.model.lower() not in ("fastspeech2", "lightspeech")
+    rng = jax.random.PRNGKey(0)
+    if is_ar:
+        model, state = init_transformer_state(hp, rng)
+    else:
+        model, state = init_fastspeech2_state(hp, rng)
+    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
+    variables = {"params": params, "batch_stats": state.batch_stats,
+                 "vq_stats": state.vq_stats}
+
+    post_model = post_variables = None
+    if args.post_model is not None:
+        from transformer_tts_tpu.train.post_trainers import (
+            build_post_model, init_post_state)
+        post_model, p_state = init_post_state(hp, rng, model)
+        p_params = ckpt.restore_params(args.post_model, p_state.params)
+        post_variables = {"params": p_params,
+                          "batch_stats": p_state.batch_stats,
+                          "vq_stats": p_state.vq_stats}
+
+    normalizer = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim)
+    mean, var = normalizer.arrays()
+    mean_j = jnp.asarray(mean) if mean is not None else None
+    var_j = jnp.asarray(var) if var is not None else None
+
+    dataset = TTSDataset(hp.test_script, hp, test_mode=True)
+    prng = random.Random(77)
+
+    start_time = time.time()
+    elapsed = 0.0
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        batch = collate([sample], hp, pad_batch=False)
+        text = jnp.asarray(batch["text"])
+        pos_text = jnp.asarray(batch["pos_text"])
+        spk_emb = (jnp.asarray(batch["spk_emb"])
+                   if "spk_emb" in batch else None)
+        t0 = time.time()
+        if is_ar:
+            mel, lengths = synthesize_transformer_tts(
+                model, variables, text, pos_text, spk_emb,
+                mean=mean_j, var=var_j)
+            n = int(lengths[0])
+            out = np.asarray(mel[0, :n])
+            durations = None
+        else:
+            p_scale = sample_perturbation(prng) \
+                if args.pitch_perturbation else 1.0
+            d_scale = sample_perturbation(prng) \
+                if args.duration_perturbation else 1.0
+            mel, mel_len, durations = synthesize_fastspeech2(
+                model, variables, text, pos_text, args.max_frames,
+                spk_emb=spk_emb,
+                accent=(jnp.asarray(batch["accent"])
+                        if "accent" in batch else None),
+                hop_size=(jnp.asarray(batch["hop_size"])
+                          if "hop_size" in batch else None),
+                mean=mean_j, var=var_j,
+                pitch_scale=p_scale, duration_scale=d_scale)
+            if post_model is not None:
+                mel = _apply_post_model(
+                    hp, model, variables, post_model, post_variables,
+                    text, pos_text, args.max_frames, mel, mean_j, var_j)
+            n = int(mel_len[0])
+            out = np.asarray(mel[0, :n])
+        elapsed += time.time() - t0
+
+        out_name = os.path.join(args.save, f"{idx}.npy")
+        np.save(out_name, out)
+        if durations is not None:
+            np.save(os.path.join(args.save, f"{idx}_alignment.npy"),
+                    np.asarray(durations[0]))
+        print(f"save {out_name} ({n} frames)")
+        sys.stdout.flush()
+
+    print(f"elapsed time = {elapsed}")
+    print(f"total time = {time.time() - start_time}")
+
+
+def _apply_post_model(hp, model, variables, post_model, post_variables,
+                      text, pos_text, max_frames, mel, mean_j, var_j):
+    """FS2 -> PostLowEnergy refinement (test_fastspeech2_dev.py:207-227)."""
+    import jax.numpy as jnp
+    from transformer_tts_tpu.ops.masks import pad_mask
+    # re-run the FS2 forward in normalized space to get phone features
+    src_mask = pad_mask(pos_text)
+    out = model.apply(variables, text, src_mask, max_frames, train=False)
+    input_mel = out.mel_post if hp.postnet_pred else out.mel_pre
+    if hp.version in (1, 5):
+        post = post_model.apply(post_variables, input_mel, out.mel_mask,
+                                train=False)
+    else:
+        phone = (out.text_dur_predicted if hp.version in (4, 6)
+                 else out.variance_adaptor_output)
+        post, _, _ = post_model.apply(post_variables, input_mel,
+                                      out.mel_mask, phone, train=False)
+    if hp.version in (3, 5, 6):          # residual
+        refined = input_mel.at[:, :, : hp.mel_dim_post].add(post)
+    else:                                # replace dims 0:mel_dim_post
+        refined = input_mel.at[:, :, : hp.mel_dim_post].set(post)
+    if mean_j is not None:
+        from transformer_tts_tpu.infer.synthesize import denormalize
+        refined = denormalize(refined, mean_j, var_j)
+    return refined
+
+
+if __name__ == "__main__":
+    main()

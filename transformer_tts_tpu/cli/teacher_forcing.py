@@ -1,0 +1,78 @@
+"""Teacher-forcing mel generation (reference generate_teacher_forcing.py).
+
+Runs FastSpeech2 over the TRAIN script with ground-truth durations and
+writes ``*_gen.npy`` mels next to the originals — creating the mel-mel
+training corpus for the post-processing line
+(generate_teacher_forcing.py:131-177).
+
+``python -m transformer_tts_tpu.cli.teacher_forcing --load_name <dir>``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_name", type=str, required=True)
+    parser.add_argument("--hp_file", type=str, default=None)
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--suffix", type=str, default="_gen")
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="write here instead of next to sources")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import load_hparams
+    from transformer_tts_tpu.data import TTSDataset, collate
+    from transformer_tts_tpu.data.readers import Normalizer
+    from transformer_tts_tpu.ops.masks import create_masks
+    from transformer_tts_tpu.train import checkpoint as ckpt
+    from transformer_tts_tpu.train.trainer import (
+        init_fastspeech2_state, make_fastspeech2_eval_step)
+
+    load_dir = args.load_name
+    hp_dir = os.path.dirname(load_dir) if os.path.basename(
+        load_dir).startswith(("epoch_", "average_")) else load_dir
+    hp = load_hparams(args.hp_file or os.path.join(hp_dir, "hparams.py"))
+
+    rng = jax.random.PRNGKey(0)
+    model, state = init_fastspeech2_state(hp, rng)
+    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
+    state = state.replace(params=params)
+    eval_fn = make_fastspeech2_eval_step(model, hp)
+
+    normalizer = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim)
+    dataset = TTSDataset(hp.train_script, hp)
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        batch = collate([sample], hp, pad_batch=False)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.ndim > 0}
+        out, _ = eval_fn(state, arrays)
+        n = int(batch["mel_length"][0])
+        mel = np.asarray(
+            (out.mel_post if out.mel_post is not None else out.mel_pre)
+            [0, :n])
+        mel = normalizer.denormalize(mel)
+        src = sample["mel_name"]
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            dest = os.path.join(
+                args.out_dir,
+                os.path.basename(src).replace(
+                    ".npy", args.suffix + ".npy"))
+        else:
+            dest = src.replace(".npy", args.suffix + ".npy")
+        np.save(dest, mel)
+        print(f"save {dest}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Unified training CLI.
+
+``python -m transformer_tts_tpu.cli.train --hp_file hparams.py``
+
+Dispatch (reference architecture asserts, train_fastspeech2.py:466,
+train_fastspeech2_dev.py:402, train_fastspeech2_dev_integrate_train.py:434):
+
+  architecture=text-mel,  model=Fastspeech2  -> FastSpeech2 trainer
+  architecture=text-mel,  model=Transformer  -> AR Transformer-TTS trainer
+  architecture=mel-mel                       -> frozen-teacher PostLowEnergy
+  architecture=text-mel-mel                  -> joint integrate training
+
+Epoch-based loop with per-step loss prints (the reference's observability
+contract), Noam LR inside the optimizer, per-epoch orbax checkpoints with
+the reference retention policy, resume via hp.loaded_dir/loaded_epoch,
+hparams snapshot into save_dir. Data-parallel over all available devices
+via a 1-D mesh; per-host batch sharding by process index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a TTS model (TPU)")
+    parser.add_argument("--hp_file", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="debug: stop after N steps")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import load_hparams
+    from transformer_tts_tpu.data import TTSDataset, DataLoader
+    from transformer_tts_tpu.parallel.mesh import (
+        make_mesh, replicated, shard_batch)
+    from transformer_tts_tpu.train import checkpoint as ckpt
+    from transformer_tts_tpu.train.trainer import (
+        build_fastspeech2, init_fastspeech2_state, init_transformer_state,
+        make_fastspeech2_train_step, make_transformer_train_step)
+    from transformer_tts_tpu.train.post_trainers import (
+        init_post_state, make_meltomel_train_step,
+        make_integrate_train_step)
+
+    hp = load_hparams(args.hp_file)
+    hp.log_config()
+    hp.snapshot(hp.save_dir)
+
+    arch = hp.architecture
+    assert arch in ("text-mel", "mel-mel", "text-mel-mel"), arch
+    is_ar = hp.model.lower() not in ("fastspeech2", "lightspeech")
+
+    rng = jax.random.PRNGKey(hp.seed)
+    dataset = TTSDataset(hp.train_script, hp,
+                         alignment_pred=not is_ar)
+    n_local_devices = jax.local_device_count()
+    loader = DataLoader(dataset, hp,
+                        shard=jax.process_index(),
+                        num_shards=jax.process_count(),
+                        batch_multiple=n_local_devices)
+
+    # ---- model + step ----
+    if arch == "text-mel" and not is_ar:
+        model, state = init_fastspeech2_state(hp, rng)
+        step_fn = make_fastspeech2_train_step(model, hp)
+    elif arch == "text-mel" and is_ar:
+        model, state = init_transformer_state(hp, rng)
+        step_fn = make_transformer_train_step(model, hp)
+    elif arch == "mel-mel":
+        assert hp.pretrain_model is not None, \
+            "mel-mel training needs hp.pretrain_model (frozen teacher)"
+        teacher = build_fastspeech2(hp)
+        _, t_state = init_fastspeech2_state(hp, rng)
+        t_params = ckpt.restore_params(hp.pretrain_model, t_state.params)
+        teacher_variables = {"params": t_params,
+                             "batch_stats": t_state.batch_stats,
+                             "vq_stats": t_state.vq_stats}
+        model, state = init_post_state(hp, rng, teacher)
+        step_fn = make_meltomel_train_step(teacher, teacher_variables,
+                                           model, hp)
+    else:  # text-mel-mel
+        model, state = init_fastspeech2_state(hp, rng,
+                                              enable_post_model=True)
+        step_fn = make_integrate_train_step(model, hp)
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params))
+    print(f"params = {n_params / 1e6:.2f}M")
+
+    # ---- pretrain / resume ----
+    start_epoch = 0
+    if arch != "mel-mel" and hp.pretrain_model is not None:
+        state = state.replace(params=ckpt.restore_params(
+            hp.pretrain_model, state.params))
+        print(f"loaded pretrain params from {hp.pretrain_model}")
+    if hp.loaded_epoch is not None:
+        load_dir = hp.loaded_dir or hp.save_dir
+        state, start_epoch = ckpt.restore_checkpoint(
+            load_dir, state, epoch=hp.loaded_epoch)
+        print(f"resumed from {load_dir} epoch {start_epoch} "
+              f"(step {int(state.step)})")
+
+    # ---- mesh ----
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    step_rng = jax.random.PRNGKey(hp.seed + 1)
+
+    # ---- epoch loop ----
+    global_step = int(state.step)
+    for epoch in range(start_epoch, hp.max_epoch):
+        t_epoch = time.time()
+        for batch in loader:
+            t0 = time.time()
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and v.ndim > 0}
+            arrays = shard_batch(arrays, mesh)
+            state, logs = step_fn(state, arrays, step_rng)
+            global_step += 1
+            if args.max_steps or global_step % 1 == 0:
+                parts = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
+                    if np.ndim(v) == 0)
+                print(f"epoch {epoch + 1} step {global_step} {parts} "
+                      f"({time.time() - t0:.3f}s)")
+                sys.stdout.flush()
+            loss = float(logs["loss_total"])
+            assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        if jax.process_index() == 0:
+            if ckpt.should_save(epoch + 1, hp.max_epoch, hp.save_per_epoch):
+                ckpt.save_checkpoint(
+                    hp.save_dir, state, epoch + 1,
+                    with_optimizer=(epoch + 1) % hp.save_per_epoch == 0)
+        print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+        if args.max_steps and global_step >= args.max_steps:
+            break
+    print("training finished")
+
+
+if __name__ == "__main__":
+    main()

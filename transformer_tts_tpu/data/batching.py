@@ -34,11 +34,15 @@ def pick_bucket(value: int, buckets: Sequence[int], *,
 
 
 def pick_batch_bucket(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16, 32,
-                                                        64, 128)) -> int:
+                                                        64, 128),
+                      multiple: int = 1) -> int:
+    """Smallest power-of-two-ish bucket >= n that is a multiple of
+    ``multiple`` (the data-mesh size, so batches shard evenly)."""
     for b in buckets:
-        if n <= b:
+        if n <= b and b % multiple == 0:
             return b
-    return -(-n // 128) * 128
+    step = max(128, multiple)
+    return -(-n // step) * step
 
 
 def _pad1(x: np.ndarray, length: int, value=0) -> np.ndarray:
@@ -55,6 +59,7 @@ def collate(
     mel_len: Optional[int] = None,
     batch: Optional[int] = None,
     pad_batch: bool = True,
+    batch_multiple: int = 1,
 ) -> Dict[str, np.ndarray]:
     """Collate per-utterance dicts into a dict of static-shape arrays.
 
@@ -79,8 +84,8 @@ def collate(
         ml = max(s["mel_length"] for s in samples)
         mel_len = mel_len or pick_bucket(ml, hp.length_buckets, multiple=r)
         mel_len = -(-mel_len // r) * r
-    b = (pick_batch_bucket(n_real) if pad_batch else n_real) \
-        if batch is None else batch
+    b = (pick_batch_bucket(n_real, multiple=batch_multiple)
+         if pad_batch else n_real) if batch is None else batch
 
     out: Dict[str, np.ndarray] = {}
     text = np.zeros((b, text_len), np.int32)

@@ -22,7 +22,7 @@ from transformer_tts_tpu.data.sampler import (
 class DataLoader:
     def __init__(self, dataset, hp, *, sampler=None, num_workers: int = 8,
                  prefetch: int = 4, shard: int = 0, num_shards: int = 1,
-                 pad_batch: bool = True):
+                 pad_batch: bool = True, batch_multiple: int = 1):
         self.dataset = dataset
         self.hp = hp
         self.num_workers = num_workers
@@ -30,6 +30,7 @@ class DataLoader:
         self.shard = shard
         self.num_shards = num_shards
         self.pad_batch = pad_batch
+        self.batch_multiple = batch_multiple
         if sampler is None:
             if hp.batch_size is not None:
                 sampler = NumBatchSampler(len(dataset), hp.batch_size,
@@ -50,7 +51,8 @@ class DataLoader:
 
     def _load_batch(self, indices):
         samples = [self.dataset[i] for i in indices]
-        return collate(samples, self.hp, pad_batch=self.pad_batch)
+        return collate(samples, self.hp, pad_batch=self.pad_batch,
+                       batch_multiple=self.batch_multiple)
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(iter(self.sampler))

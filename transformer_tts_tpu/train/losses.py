@@ -184,3 +184,31 @@ def transformer_tts_loss(
     total = pre + post + stop
     return total, {"loss_frame_before": pre, "loss_frame_after": post,
                    "loss_token": stop, "loss_total": total}
+
+
+def time_weighted_l1(pred: jnp.ndarray, target: jnp.ndarray,
+                     time_mask: jnp.ndarray, time_weight,
+                     mel_dim: int) -> jnp.ndarray:
+    """Semantic-mask time-weighted L1 (integrate trainer loss_mel,
+    train_fastspeech2_dev_integrate_train.py:67-79).
+
+    ``time_mask``: (B, T, 1) bool — True inside masked phone spans.
+    loss = w0 * mean_over_masked + w1 * mean_over_unmasked.
+    """
+    err = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    m = time_mask.astype(jnp.float32)
+    loss_mask = (err * m).sum() / jnp.maximum(m.sum(), 1.0) / mel_dim
+    inv = 1.0 - m
+    loss_unmask = (err * inv).sum() / jnp.maximum(inv.sum(), 1.0) / mel_dim
+    return time_weight[0] * loss_mask + time_weight[1] * loss_unmask
+
+
+def cosine_embedding_loss(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """F.cosine_embedding_loss with target=+1: mean(1 - cos(x1, x2))
+    over flattened samples (integrate trainer :208-216)."""
+    a = x1.reshape(x1.shape[0], -1).astype(jnp.float32)
+    b = x2.reshape(x2.shape[0], -1).astype(jnp.float32)
+    num = (a * b).sum(-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    cos = num / jnp.maximum(den, 1e-8)
+    return jnp.mean(1.0 - cos)
