@@ -1,0 +1,35 @@
+# AR Transformer-TTS parity config (reference train.py path, GST optional)
+architecture = "text-mel"
+model = "Transformer"
+
+train_script = "data/ljspeech/train.txt"
+test_script = "data/ljspeech/test.txt"
+mean_file = "data/ljspeech/mean.npy"
+var_file = "data/ljspeech/var.npy"
+lengths_file = "data/ljspeech/lengths.npy"
+
+vocab_size = 152
+mel_dim = 80
+
+d_model_encoder = 384
+n_layer_encoder = 6
+n_head_encoder = 4
+ff_conv_kernel_size_encoder = 5
+d_model_decoder = 384
+n_layer_decoder = 6
+n_head_decoder = 4
+ff_conv_kernel_size_decoder = 1
+reduction_rate = 2
+gst = False
+
+optimizer = "Noam"
+warmup_step = 4000
+max_seqlen = 10000
+max_epoch = 1000
+save_per_epoch = 50
+clip = 1.0
+amp = True
+accum_grad = 1
+positive_weight = 5.0
+
+save_dir = "checkpoints/transformer_ljspeech"

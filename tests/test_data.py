@@ -149,3 +149,37 @@ def test_mean_var_normalization(corpus, tmp_path):
     ds = TTSDataset(script, hp)
     raw = load_mel(ds.rows[0][0], MEL_DIM)
     np.testing.assert_allclose(ds[0]["mel"], (raw - 2.0) / 2.0, rtol=1e-5)
+
+
+def test_native_loader_matches_numpy(corpus, tmp_path):
+    """Native fused load+normalize must equal the numpy path exactly."""
+    from transformer_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, script = corpus
+    mean = np.full((1, MEL_DIM), 1.5, np.float32)
+    var = np.full((1, MEL_DIM), 2.25, np.float32)
+    np.save(tmp_path / "mean.npy", mean)
+    np.save(tmp_path / "var.npy", var)
+    hp = make_hp(mean_file=str(tmp_path / "mean.npy"),
+                 var_file=str(tmp_path / "var.npy"))
+    ds = TTSDataset(script, hp)
+    for i in range(3):
+        path = ds.rows[i][0]
+        nat = native.load_mel_normalized(path, MEL_DIM, mean, var)
+        ref = ds.normalizer(load_mel(path, MEL_DIM))
+        np.testing.assert_allclose(nat, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_native_pad_batch_matches_numpy():
+    from transformer_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(0)
+    mels = [rs.randn(7, 4).astype(np.float32),
+            rs.randn(3, 4).astype(np.float32)]
+    out = native.pad_mel_batch(mels, 8, -0.5)
+    ref = np.full((2, 8, 4), -0.5, np.float32)
+    ref[0, :7] = mels[0]
+    ref[1, :3] = mels[1]
+    np.testing.assert_array_equal(out, ref)

@@ -165,3 +165,25 @@ def test_sq_vae_fastspeech2():
     assert out.sq_vae_loss is not None
     assert np.isfinite(float(out.sq_vae_loss))
     assert float(out.sq_vae_perplexity) > 0
+
+
+def test_sq_fastspeech2_model_and_trainer():
+    """SQFastSpeech2 (unsupervised duration) one train step + eval."""
+    from transformer_tts_tpu.train.trainer import (
+        init_sq_fastspeech2_state, make_sq_fastspeech2_train_step)
+    hp = tiny_hp(model="SQFastspeech2")
+    model, state = init_sq_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_sq_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(0)
+    state, logs = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss_total"]))
+    assert float(logs["sq_vae_perplexity"]) > 0
+    assert "loss_duration" in logs
+
+    # eval path: no temperature, deterministic encode
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": state.vq_stats},
+        batch["text"], src_mask, 48, train=False)
+    assert out.mel_pre.shape == (2, 48, 16)

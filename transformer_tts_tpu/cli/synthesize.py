@@ -72,7 +72,8 @@ def main(argv=None):
         hp.test_script = args.test_script
     os.makedirs(args.save, exist_ok=True)
 
-    is_ar = hp.model.lower() not in ("fastspeech2", "lightspeech")
+    from transformer_tts_tpu.config import is_nar_model
+    is_ar = not is_nar_model(hp.model)
     rng = jax.random.PRNGKey(0)
     if is_ar:
         model, state = init_transformer_state(hp, rng)

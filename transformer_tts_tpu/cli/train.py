@@ -42,7 +42,8 @@ def main(argv=None):
     from transformer_tts_tpu.train import checkpoint as ckpt
     from transformer_tts_tpu.train.trainer import (
         build_fastspeech2, init_fastspeech2_state, init_transformer_state,
-        make_fastspeech2_train_step, make_transformer_train_step)
+        init_sq_fastspeech2_state, make_fastspeech2_train_step,
+        make_transformer_train_step, make_sq_fastspeech2_train_step)
     from transformer_tts_tpu.train.post_trainers import (
         init_post_state, make_meltomel_train_step,
         make_integrate_train_step)
@@ -51,9 +52,17 @@ def main(argv=None):
     hp.log_config()
     hp.snapshot(hp.save_dir)
 
+    if hp.debug_nans:
+        # the reference's NaN asserts + anomaly-detection residue
+        # (train_fastspeech2.py:162,300) as a first-class switch
+        jax.config.update("jax_debug_nans", True)
+
     arch = hp.architecture
     assert arch in ("text-mel", "mel-mel", "text-mel-mel"), arch
-    is_ar = hp.model.lower() not in ("fastspeech2", "lightspeech")
+    is_sq = hp.model.lower() in ("sqfastspeech2", "sq_fastspeech2",
+                                 "fastspeech2_sq")
+    is_ar = not is_sq and hp.model.lower() not in ("fastspeech2",
+                                                   "lightspeech")
 
     rng = jax.random.PRNGKey(hp.seed)
     dataset = TTSDataset(hp.train_script, hp,
@@ -62,10 +71,14 @@ def main(argv=None):
     loader = DataLoader(dataset, hp,
                         shard=jax.process_index(),
                         num_shards=jax.process_count(),
+                        num_workers=hp.num_workers,
                         batch_multiple=n_local_devices)
 
     # ---- model + step ----
-    if arch == "text-mel" and not is_ar:
+    if arch == "text-mel" and is_sq:
+        model, state = init_sq_fastspeech2_state(hp, rng)
+        step_fn = make_sq_fastspeech2_train_step(model, hp)
+    elif arch == "text-mel" and not is_ar:
         model, state = init_fastspeech2_state(hp, rng)
         step_fn = make_fastspeech2_train_step(model, hp)
     elif arch == "text-mel" and is_ar:
@@ -110,6 +123,15 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
     step_rng = jax.random.PRNGKey(hp.seed + 1)
 
+    # ---- observability ----
+    from transformer_tts_tpu.utils import MetricsLogger, StepTimer
+    import os as _os
+    metrics = MetricsLogger(_os.path.join(hp.save_dir, hp.log_dir))
+    timer = StepTimer()
+    if hp.profile_dir:
+        from transformer_tts_tpu.utils import start_profiler
+        start_profiler(hp.profile_dir)
+
     # ---- epoch loop ----
     global_step = int(state.step)
     for epoch in range(start_epoch, hp.max_epoch):
@@ -129,6 +151,10 @@ def main(argv=None):
                       f"({time.time() - t0:.3f}s)")
                 sys.stdout.flush()
             loss = float(logs["loss_total"])
+            timer.tick()
+            metrics.log(global_step, steps_per_sec=timer.steps_per_sec,
+                        **{k: v for k, v in logs.items()
+                           if np.ndim(v) == 0})
             assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
             if args.max_steps and global_step >= args.max_steps:
                 break
@@ -140,6 +166,10 @@ def main(argv=None):
         print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
         if args.max_steps and global_step >= args.max_steps:
             break
+    if hp.profile_dir:
+        from transformer_tts_tpu.utils import stop_profiler
+        stop_profiler()
+    metrics.close()
     print("training finished")
 
 

@@ -147,6 +147,9 @@ _DEFAULTS: Dict[str, Any] = {
     "use_flash_attention": True,      # pallas kernel when maps not needed
     "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
     "remat": False,                   # jax.checkpoint the encoder/decoder
+    "debug_nans": False,              # jax.config nan-checking (SURVEY §5)
+    "profile_dir": None,              # jax.profiler trace output dir
+    "num_workers": 8,                 # data-loader threads
 }
 
 
@@ -263,3 +266,13 @@ class HParams:
 def load_hparams(path: str, **overrides: Any) -> HParams:
     """Convenience wrapper used by the CLIs."""
     return HParams.from_file(path, **overrides)
+
+
+NAR_MODEL_NAMES = ("fastspeech2", "lightspeech", "sqfastspeech2",
+                   "sq_fastspeech2", "fastspeech2_sq")
+
+
+def is_nar_model(name: str) -> bool:
+    """Non-autoregressive model families (no go-frame, reduction_rate 1
+    in the data layer — datasets_fastspeech2.py:159-163)."""
+    return name.lower() in NAR_MODEL_NAMES

@@ -71,8 +71,8 @@ def collate(
     the reference losses average over padding anyway — padded rows are
     tracked for correct metric normalization).
     """
-    r = hp.reduction_rate if hp.model.lower() not in ("fastspeech2",
-                                                      "lightspeech") else 1
+    from transformer_tts_tpu.config import is_nar_model
+    r = 1 if is_nar_model(hp.model) else hp.reduction_rate
     mel_pad = MEL_PAD_NORMALIZED if hp.mean_file is not None \
         else MEL_PAD_RAW
 

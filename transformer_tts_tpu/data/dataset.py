@@ -67,10 +67,21 @@ class TTSDataset:
             import sentencepiece as spm
             self.sp = spm.SentencePieceProcessor()
             self.sp.Load(hp.spm_model)
-        self.is_ar = hp.model.lower() not in ("fastspeech2", "lightspeech")
+        from transformer_tts_tpu.config import is_nar_model
+        self.is_ar = not is_nar_model(hp.model)
 
     def __len__(self) -> int:
         return len(self.rows)
+
+    def _load_mel(self, mel_name: str) -> np.ndarray:
+        """Fused native load+normalize when available; numpy fallback."""
+        from transformer_tts_tpu.data import native
+        mean, var = self.normalizer.arrays()
+        out = native.load_mel_normalized(mel_name, self.hp.mel_dim,
+                                         mean, var)
+        if out is not None:
+            return out
+        return self.normalizer(load_mel(mel_name, self.hp.mel_dim))
 
     def _encode_text(self, text: str) -> np.ndarray:
         if self.sp is not None:
@@ -123,7 +134,7 @@ class TTSDataset:
         if self.test_mode:
             return sample
 
-        mel = self.normalizer(load_mel(mel_name, hp.mel_dim))
+        mel = self._load_mel(mel_name)
         if self.is_ar:
             mel = np.concatenate(
                 [np.zeros((1, hp.mel_dim), np.float32), mel], axis=0)

@@ -33,6 +33,7 @@ class Decoder(nn.Module):
     dropout_prenet: float = 0.5
     spk_emb_dim: Optional[int] = None
     output_type: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +54,14 @@ class Decoder(nn.Module):
             x = x.sum(axis=2)
         x = PositionalEncoder(self.d_model, self.dropout, dtype=self.dtype,
                               name="pe")(x, train=train, offset=pos_offset)
+        cross_k_len = self_k_len = None
+        if self.use_flash and caches is None:
+            if src_mask is not None and src_mask.shape[1] == 1:
+                cross_k_len = src_mask[:, 0, :].sum(-1).astype(jnp.int32)
+            if trg_mask is not None and trg_mask.ndim == 3 \
+                    and trg_mask.shape[1] == trg_mask.shape[2]:
+                # last row of (pad & causal) mask == the pad prefix mask
+                self_k_len = trg_mask[:, -1, :].sum(-1).astype(jnp.int32)
         attns_self, attns_cross = [], []
         new_caches = [] if caches is not None else None
         for i in range(self.n_layers):
@@ -60,8 +69,8 @@ class Decoder(nn.Module):
                 d_model=self.d_model, heads=self.heads,
                 ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
                 concat_after=self.concat_after,
-                spk_emb_dim=self.spk_emb_dim, dtype=self.dtype,
-                name=f"layers_{i}")
+                spk_emb_dim=self.spk_emb_dim, use_flash=self.use_flash,
+                dtype=self.dtype, name=f"layers_{i}")
             if caches is not None:
                 x, a1, a2, new_cache = layer(
                     x, e_outputs, src_mask, trg_mask, spk_emb, train=train,
@@ -70,7 +79,9 @@ class Decoder(nn.Module):
                 new_caches.append(new_cache)
             else:
                 x, a1, a2 = layer(x, e_outputs, src_mask, trg_mask, spk_emb,
-                                  train=train, collect_attn=collect_attn)
+                                  train=train, collect_attn=collect_attn,
+                                  self_k_len=self_k_len,
+                                  cross_k_len=cross_k_len)
             if collect_attn:
                 attns_self.append(a1)
                 attns_cross.append(a2)

@@ -61,6 +61,7 @@ class Encoder(nn.Module):
     n_accents: int = 5       # encoder.py:61
     intermediate_layers_out: Optional[tuple] = None
     intermediate_dim: int = 80
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,6 +71,10 @@ class Encoder(nn.Module):
                               self.dtype)(src)
         x = PositionalEncoder(self.d_model, self.dropout, dtype=self.dtype,
                               name="pe")(x, train=train)
+        # flash path needs prefix pad masks expressed as per-batch lengths
+        k_len = (mask[:, 0, :].sum(-1).astype(jnp.int32)
+                 if (self.use_flash and mask is not None
+                     and mask.shape[1] == 1) else None)
         attns = []
         intermediate_outs = []
         for i in range(self.n_layers):
@@ -77,8 +82,10 @@ class Encoder(nn.Module):
                 d_model=self.d_model, heads=self.heads,
                 ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
                 concat_after=self.concat_after, spk_emb_dim=self.spk_emb_dim,
-                dtype=self.dtype, name=f"layers_{i}",
-            )(x, mask, spk_emb, train=train, collect_attn=collect_attn)
+                use_flash=self.use_flash, dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, mask, spk_emb, train=train, collect_attn=collect_attn,
+              k_len=k_len)
             if collect_attn:
                 attns.append(attn)
             if self.intermediate_layers_out and i in self.intermediate_layers_out:
@@ -133,3 +140,65 @@ class ConformerEncoder(nn.Module):
                 attns.append(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return x, (jnp.stack(attns, axis=1) if collect_attn else None)
+
+
+class EncoderPostprocessing(nn.Module):
+    """Encoder with gender/speaker embeddings + mid-stack CTC tap.
+
+    Reference: ``Models/encoder.py:162-223`` — accent/gender/speaker-id
+    embeddings added to the input, a 152-class CTC linear tap after layer 2
+    (encoder.py:187,216-218), otherwise the plain Encoder stack.
+    """
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    heads: int
+    ff_kernel_size: int
+    concat_after: bool = False
+    dropout: float = 0.1
+    spk_emb_dim: Optional[int] = None
+    embedding: bool = True
+    accent_emb: bool = False
+    gender_emb: bool = False
+    speaker_emb: bool = False
+    n_speakers: int = 247    # encoder.py:184
+    ctc_out: bool = False
+    ctc_classes: int = 152   # encoder.py:187
+    ctc_layer: int = 2       # encoder.py:216
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, mask, spk_emb=None, accent=None, gender=None, *,
+                 train: bool = True, collect_attn: bool = False):
+        x = _embed_or_project(self.embedding, self.vocab_size, self.d_model,
+                              self.dtype)(src)
+        if self.accent_emb and accent is not None:
+            x = x + nn.Embed(5, self.d_model, dtype=self.dtype,
+                             name="acc_embed")(accent)
+        if self.gender_emb:
+            if gender is None:
+                raise ValueError("gender_emb=True requires gender ids")
+            x = x + nn.Embed(2, self.d_model, dtype=self.dtype,
+                             name="gender_embed")(gender)[:, None, :]
+        if self.speaker_emb:
+            x = x + nn.Embed(self.n_speakers, self.d_model,
+                             dtype=self.dtype,
+                             name="speaker_embed")(spk_emb)[:, None, :]
+        x = PositionalEncoder(self.d_model, self.dropout, dtype=self.dtype,
+                              name="pe")(x, train=train)
+        ctc_out = None
+        attns = []
+        for i in range(self.n_layers):
+            x, attn = EncoderLayer(
+                d_model=self.d_model, heads=self.heads,
+                ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
+                concat_after=self.concat_after, dtype=self.dtype,
+                name=f"layers_{i}")(x, mask, None, train=train,
+                                    collect_attn=collect_attn)
+            if collect_attn:
+                attns.append(attn)
+            if self.ctc_out and i == self.ctc_layer:
+                ctc_out = nn.Dense(self.ctc_classes, dtype=self.dtype,
+                                   name="ctc_linear")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x, ctc_out, (jnp.stack(attns, 1) if collect_attn else None)

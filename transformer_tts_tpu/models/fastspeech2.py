@@ -58,6 +58,7 @@ class FastSpeech2Output(NamedTuple):
 def _stack(encoder_type: str, **kw):
     if encoder_type.lower() == "conformer":
         kw.pop("concat_after", None)
+        kw.pop("use_flash", None)   # conformer uses relative attention
         return ConformerEncoder(**kw)
     return Encoder(**kw)
 
@@ -112,6 +113,7 @@ class FastSpeech2(nn.Module):
     semantic_mask: bool = False
     semantic_mask_phone: bool = False
     mask_probability: float = 0.06
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +146,7 @@ class FastSpeech2(nn.Module):
             ff_kernel_size=self.ff_conv_kernel_size_encoder,
             concat_after=self.concat_after_encoder, dropout=self.dropout,
             spk_emb_dim=enc_spk, embedding=True, accent_emb=self.accent_emb,
-            dtype=self.dtype, name="encoder")
+            use_flash=self.use_flash, dtype=self.dtype, name="encoder")
         e_outputs, attn_enc = encoder(
             text, src_mask, spk_emb if enc_spk else None, accent,
             train=train, collect_attn=collect_attn)
@@ -201,7 +203,7 @@ class FastSpeech2(nn.Module):
             ff_kernel_size=self.ff_conv_kernel_size_decoder,
             concat_after=self.concat_after_decoder, dropout=self.dropout,
             spk_emb_dim=dec_spk, embedding=False, accent_emb=False,
-            dtype=self.dtype, name="decoder")
+            use_flash=self.use_flash, dtype=self.dtype, name="decoder")
         d_output, attn_dec = decoder(
             va_out.x, va_out.mel_mask, spk_emb if dec_spk else None, None,
             train=train, collect_attn=collect_attn)

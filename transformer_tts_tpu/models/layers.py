@@ -58,18 +58,21 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     concat_after: bool = False
     spk_emb_dim: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, spk_emb=None, *, train: bool = True,
-                 collect_attn: bool = False):
+                 collect_attn: bool = False, k_len=None):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="norm_1")(x)
         out, attn = MultiHeadAttention(
             heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            concat_after=self.concat_after, dtype=self.dtype, name="attn",
-        )(h, h, h, mask, train=train, collect_attn=collect_attn)
+            concat_after=self.concat_after, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn",
+        )(h, h, h, mask, train=train, collect_attn=collect_attn,
+          k_len=k_len)
         x = res + drop(out)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="norm_2")(x)
@@ -131,6 +134,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     concat_after: bool = False
     spk_emb_dim: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,7 +142,7 @@ class DecoderLayer(nn.Module):
                  train: bool = True, collect_attn: bool = False,
                  self_cache: Optional[Tuple] = None,
                  cross_cache: Optional[Tuple] = None,
-                 cache_index=None):
+                 cache_index=None, self_k_len=None, cross_k_len=None):
         """Returns (x, attn_self, attn_cross[, new_self_cache]).
 
         ``self_cache``/``cache_index``: static-shape KV cache for scan
@@ -152,7 +156,8 @@ class DecoderLayer(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_1")(x)
         attn_1_mod = MultiHeadAttention(
             heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            concat_after=self.concat_after, dtype=self.dtype, name="attn_1")
+            concat_after=self.concat_after, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn_1")
         new_self_cache = None
         if self_cache is not None:
             out, attn_1, new_self_cache = attn_1_mod(
@@ -160,15 +165,17 @@ class DecoderLayer(nn.Module):
                 cache=self_cache, cache_index=cache_index)
         else:
             out, attn_1 = attn_1_mod(h, h, h, trg_mask, train=train,
-                                     collect_attn=collect_attn)
+                                     collect_attn=collect_attn,
+                                     k_len=self_k_len, causal=True)
         x = res + drop(out)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="norm_2")(x)
         out, attn_2 = MultiHeadAttention(
             heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            concat_after=self.concat_after, dtype=self.dtype, name="attn_2",
+            concat_after=self.concat_after, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn_2",
         )(h, e_outputs, e_outputs, src_mask, train=train,
-          collect_attn=collect_attn)
+          collect_attn=collect_attn, k_len=cross_k_len)
         x = res + drop(out)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="norm_3")(x)

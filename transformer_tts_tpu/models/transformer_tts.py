@@ -77,6 +77,7 @@ class TransformerTTS(nn.Module):
     spk_emb_vers: int = 1        # transformer.py:44
     output_type: bool = False
     postnet_identity_compat: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -93,7 +94,7 @@ class TransformerTTS(nn.Module):
             self.encoder = ConformerEncoder(**common)
         else:
             self.encoder = Encoder(concat_after=self.concat_after_encoder,
-                                   **common)
+                                   use_flash=self.use_flash, **common)
         if self.d_model_encoder != self.d_model_decoder:
             self.linear = nn.Dense(self.d_model_decoder, dtype=self.dtype)
         else:
@@ -112,7 +113,8 @@ class TransformerTTS(nn.Module):
             ff_kernel_size=self.ff_conv_kernel_size_decoder,
             concat_after=self.concat_after_decoder, dropout=self.dropout,
             dropout_prenet=self.dropout_prenet, spk_emb_dim=dec_spk,
-            output_type=self.output_type, dtype=self.dtype)
+            output_type=self.output_type, use_flash=self.use_flash,
+            dtype=self.dtype)
         self.out = nn.Dense(self.mel_dim * self.reduction_rate,
                             dtype=self.dtype)
         self.stop_token = nn.Dense(self.reduction_rate, dtype=self.dtype)
@@ -213,4 +215,5 @@ def build_transformer_tts(hp, *, train_dtype=None) -> TransformerTTS:
         dropout_postnet=hp.dropout_postnet, gst=hp.gst,
         multi_speaker=hp.is_multi_speaker, spk_emb_dim=hp.spk_emb_dim,
         spk_emb_architecture=spk_arch, spk_emb_vers=hp.spk_emb_vers,
-        output_type=bool(hp.output_type), dtype=dtype)
+        output_type=bool(hp.output_type),
+        use_flash=hp.use_flash_attention, dtype=dtype)

@@ -182,3 +182,35 @@ class _UniLSTM(nn.Module):
         cell = nn.OptimizedLSTMCell(self.features, dtype=self.dtype)
         scan = nn.RNN(cell, name="lstm")
         return scan(x)
+
+
+class Aligner(nn.Module):
+    """Differentiable duration-modeling sketch, made runnable.
+
+    Reference: ``Models/aligner.py:9-46`` — 3x(Conv1d(k=9) + LayerNorm +
+    dropout) over encoder features, a Linear to M max-duration logits,
+    additive gaussian noise at train, sigmoid output. The reference module
+    crashes as shipped (``torch.randn(outputs)`` on a tensor, and its
+    sibling ``AutoTTS`` has a ``super.__init__()`` typo); this is the
+    working equivalent (the ``convert_s`` duration-matrix conversion was
+    ``pass`` upstream and remains future work there too).
+    """
+    d_model: int
+    max_duration: int            # M
+    kernel_size: int = 9
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoded, *, train: bool = True):
+        x = encoded
+        for i in range(3):
+            x = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln_{i}")(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        out = nn.Dense(self.max_duration, dtype=self.dtype, name="out")(x)
+        if train:
+            noise = jax.random.normal(self.make_rng("dropout"), out.shape)
+            out = out + noise.astype(out.dtype)
+        return nn.sigmoid(out)

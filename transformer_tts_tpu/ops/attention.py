@@ -68,13 +68,22 @@ def scaled_dot_attention(
 
 
 class MultiHeadAttention(nn.Module):
-    """Reference-compatible MHA (Models/modules.py:23-70)."""
+    """Reference-compatible MHA (Models/modules.py:23-70).
+
+    ``use_flash``: dispatch to the Pallas flash kernel
+    (ops/flash_attention.py) when the mask is a prefix pad mask expressed
+    as ``k_len`` (+ optional ``causal``), attention maps are not
+    requested, no KV cache is in play, and attention-prob dropout is
+    inactive (eval, or dropout rate 0 — flash skips prob-dropout, so the
+    jnp path keeps training parity with the reference).
+    """
     heads: int
     d_model: int
     q_dim: Optional[int] = None     # defaults to d_model
     kv_dim: Optional[int] = None
     dropout: float = 0.1
     concat_after: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +98,8 @@ class MultiHeadAttention(nn.Module):
         collect_attn: bool = False,
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        k_len: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ):
         """Returns (output, attn_or_None[, updated_cache]).
 
@@ -118,8 +129,20 @@ class MultiHeadAttention(nn.Module):
                 v_cache, v.astype(v_cache.dtype), cache_index, axis=2)
             new_cache = (k, v)
 
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-        context, probs = scaled_dot_attention(q, k, v, mask, dropout=drop)
+        dropout_active = train and self.dropout > 0.0
+        flash_ok = (self.use_flash and not collect_attn
+                    and cache is None and k_len is not None
+                    and not dropout_active
+                    and jax.default_backend() != "cpu")
+        if flash_ok:
+            from transformer_tts_tpu.ops.flash_attention import (
+                flash_attention)
+            context = flash_attention(q, k, v, k_len, causal)
+            probs = None
+        else:
+            drop = nn.Dropout(self.dropout, deterministic=not train)
+            context, probs = scaled_dot_attention(q, k, v, mask,
+                                                  dropout=drop)
 
         concat = context.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
         if self.concat_after:

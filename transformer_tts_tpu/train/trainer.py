@@ -105,6 +105,7 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
         version=hp.version, semantic_mask=hp.semantic_mask,
         semantic_mask_phone=hp.semantic_mask_phone,
         mask_probability=hp.mask_probability,
+        use_flash=hp.use_flash_attention,
         dtype=dtype)
 
 
@@ -307,6 +308,136 @@ def make_transformer_train_step(model: TransformerTTS, hp: HParams,
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(
             batch_stats=mutated.get("batch_stats", state.batch_stats))
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+# --------------------------------------------------------------------------
+# SQ-VAE FastSpeech2 (unsupervised duration, train_fastspeech2_sq.py)
+# --------------------------------------------------------------------------
+
+def build_sq_fastspeech2(hp: HParams):
+    from transformer_tts_tpu.models.fastspeech2_sq import SQFastSpeech2
+    dtype = jnp.bfloat16 if hp.amp else jnp.float32
+    spk_arch = tuple(
+        s for s in ("encoder", "middle", "decoder")
+        if s in (hp.spk_emb_architecture or ""))
+    return SQFastSpeech2(
+        vocab_size=hp.vocab_size, mel_dim=hp.mel_dim,
+        d_model_encoder=hp.d_model_encoder,
+        n_layer_encoder=hp.n_layer_encoder,
+        n_head_encoder=hp.n_head_encoder,
+        ff_conv_kernel_size_encoder=hp.ff_conv_kernel_size_encoder,
+        concat_after_encoder=hp.concat_after_encoder,
+        d_model_decoder=hp.d_model_decoder,
+        n_layer_decoder=hp.n_layer_decoder,
+        n_head_decoder=hp.n_head_decoder,
+        ff_conv_kernel_size_decoder=hp.ff_conv_kernel_size_decoder,
+        concat_after_decoder=hp.concat_after_decoder,
+        encoder_type=hp.encoder_type, decoder_type=hp.decoder_type,
+        postnet_pred=hp.postnet_pred, dropout=hp.dropout,
+        dropout_postnet=hp.dropout_postnet,
+        dropout_variance_adaptor=hp.dropout_variance_adaptor,
+        n_bins=hp.nbins, f0_min=hp.f0_min, f0_max=hp.f0_max,
+        energy_min=hp.energy_min, energy_max=hp.energy_max,
+        log_offset=hp.log_offset, pitch_pred=hp.pitch_pred,
+        energy_pred=hp.energy_pred, accent_emb=hp.accent_emb,
+        multi_speaker=hp.is_multi_speaker, spk_emb_dim=hp.spk_emb_dim,
+        spk_emb_architecture=spk_arch,
+        use_flash=hp.use_flash_attention, dtype=dtype)
+
+
+def init_sq_fastspeech2_state(hp: HParams, rng: jax.Array, *,
+                              max_text: int = 32, max_frames: int = 128):
+    model = build_sq_fastspeech2(hp)
+    b = 2
+    text = jnp.ones((b, max_text), jnp.int32)
+    pos_text = jnp.tile(jnp.arange(1, max_text + 1)[None], (b, 1))
+    src_mask, _ = create_masks(pos_text, None)
+    p_target = jnp.zeros((b, max_frames))
+    e_target = jnp.zeros((b, max_frames))
+    variables = model.init(
+        {"params": rng, "dropout": rng}, text, src_mask, max_frames,
+        None, p_target, e_target, temperature=jnp.asarray(1.0), train=True)
+    tx = build_optimizer(
+        hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
+        hp.learning_rate, hp.clip, hp.accum_grad)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        vq_stats=variables.get("vq_stats", {}), tx=tx)
+    return model, state
+
+
+def make_sq_fastspeech2_train_step(model, hp: HParams, *,
+                                   donate: bool = True):
+    """SQ-VAE trainer (train_fastspeech2_sq.py:95-230).
+
+    Duration target forced None (:122); duration supervision is
+    ``mean_b |sum_l exp(logd)_valid - mel_len_b|`` (:203-208); mel loss is
+    the AR-ELBO MSE; SQ-VAE loss added; temperature ``exp(-1e-5 step)``.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        max_frames = batch["mel"].shape[1]
+        src_mask, mel_mask = create_masks(
+            batch["pos_text"], batch["pos_mel"], model="fastspeech2")
+        temperature = jnp.exp(-1e-5 * state.step.astype(jnp.float32))
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats,
+                         "vq_stats": state.vq_stats}
+            out, mutated = model.apply(
+                variables, batch["text"], src_mask, max_frames,
+                None, batch.get("f0"), batch.get("energy"),
+                mel_mask=mel_mask, accent=batch.get("accent"),
+                spk_emb=batch.get("spk_emb"), temperature=temperature,
+                train=True, rngs={"dropout": rng},
+                mutable=["batch_stats", "vq_stats"])
+            logs = {}
+            mel_loss = L.mse_loss_arelbo(out.mel_pre, batch["mel"])
+            logs["loss_frame_before"] = mel_loss
+            total = mel_loss
+            if out.mel_post is not None:
+                post_loss = L.l1(out.mel_post, batch["mel"])
+                logs["loss_frame_after"] = post_loss
+                total = total + post_loss
+            # unsupervised duration: total predicted frames vs mel length
+            valid = src_mask[:, 0, :]
+            pred_frames = jnp.sum(
+                jnp.exp(out.log_duration.astype(jnp.float32)) * valid,
+                axis=1)
+            mel_lengths = jnp.sum(mel_mask[:, 0, :], axis=1).astype(
+                jnp.float32)
+            d_loss = jnp.mean(jnp.abs(pred_frames - mel_lengths))
+            logs["loss_duration"] = d_loss
+            total = total + d_loss
+            if out.pitch is not None and batch.get("f0") is not None:
+                f0_loss = L.l1(out.pitch, batch["f0"])
+                logs["loss_f0"] = f0_loss
+                total = total + f0_loss
+            if out.energy is not None and batch.get("energy") is not None:
+                e_loss = L.l1(out.energy, batch["energy"])
+                logs["loss_energy"] = e_loss
+                total = total + e_loss
+            total = total + out.sq_vae_loss
+            logs["sq_vae_loss"] = out.sq_vae_loss
+            logs["sq_vae_perplexity"] = out.sq_vae_perplexity
+            logs["loss_total"] = total
+            return total, (logs, mutated)
+
+        (loss, (logs, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            vq_stats=mutated.get("vq_stats", state.vq_stats))
         logs["grad_norm"] = optax.global_norm(grads)
         return new_state, logs
 
