@@ -1,0 +1,191 @@
+"""Convert reference PyTorch checkpoints into this framework's params.
+
+The reference saves ``model.state_dict()`` as ``network.epoch{N}``
+(train_fastspeech2.py:316-322). This module maps those tensors onto the
+flax parameter tree so users can migrate trained models without
+retraining. Layout rules:
+
+  torch nn.Linear.weight (out, in)      -> Dense kernel (in, out)   [T]
+  torch nn.Conv1d.weight (out, in, k)   -> Conv kernel (k, in, out) [T]
+  torch nn.Embedding.weight             -> Embed embedding          [=]
+  torch LayerNorm weight/bias           -> LayerNorm scale/bias     [=]
+  torch BatchNorm1d weight/bias         -> BatchNorm scale/bias     [=]
+        running_mean/var               -> batch_stats mean/var      [=]
+
+Also strips the ``module.`` DataParallel prefix like the reference's
+``load_model`` (utils/utils.py:107-134).
+
+Currently covers the FastSpeech2 family (transformer encoder/decoder
+stacks, variance adaptor, postnet); extendable by adding rules.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _strip_module_prefix(state: Dict) -> Dict:
+    if state and next(iter(state)).startswith("module."):
+        return {k[len("module."):]: v for k, v in state.items()}
+    return dict(state)
+
+
+def _to_np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _map_linear(params, bstats, flax_path, state, torch_name):
+    _set(params, flax_path + ("kernel",),
+         _to_np(state[torch_name + ".weight"]).T)
+    if torch_name + ".bias" in state:
+        _set(params, flax_path + ("bias",),
+             _to_np(state[torch_name + ".bias"]))
+
+
+def _map_conv1d(params, bstats, flax_path, state, torch_name):
+    w = _to_np(state[torch_name + ".weight"])       # (out, in, k)
+    _set(params, flax_path + ("kernel",), w.transpose(2, 1, 0))
+    if torch_name + ".bias" in state:
+        _set(params, flax_path + ("bias",),
+             _to_np(state[torch_name + ".bias"]))
+
+
+def _map_embed(params, bstats, flax_path, state, torch_name):
+    _set(params, flax_path + ("embedding",),
+         _to_np(state[torch_name + ".weight"]))
+
+
+def _map_ln(params, bstats, flax_path, state, torch_name):
+    _set(params, flax_path + ("scale",),
+         _to_np(state[torch_name + ".weight"]))
+    _set(params, flax_path + ("bias",), _to_np(state[torch_name + ".bias"]))
+
+
+def _map_bn(params, bstats, flax_path, state, torch_name):
+    _set(params, flax_path + ("scale",),
+         _to_np(state[torch_name + ".weight"]))
+    _set(params, flax_path + ("bias",), _to_np(state[torch_name + ".bias"]))
+    _set(bstats, flax_path + ("mean",),
+         _to_np(state[torch_name + ".running_mean"]))
+    _set(bstats, flax_path + ("var",),
+         _to_np(state[torch_name + ".running_var"]))
+
+
+def _map_mha(params, bstats, flax_path, state, torch_name):
+    for part in ("q_linear", "k_linear", "v_linear", "out"):
+        _map_linear(params, bstats, flax_path + (part,), state,
+                    f"{torch_name}.{part}")
+
+
+def _map_encoder_layer(params, bstats, flax_path, state, torch_name):
+    _map_ln(params, bstats, flax_path + ("norm_1",), state,
+            f"{torch_name}.norm_1")
+    _map_ln(params, bstats, flax_path + ("norm_2",), state,
+            f"{torch_name}.norm_2")
+    _map_mha(params, bstats, flax_path + ("attn",), state,
+             f"{torch_name}.attn")
+    _map_conv1d(params, bstats, flax_path + ("ff", "f_1"), state,
+                f"{torch_name}.ff.f_1")
+    _map_conv1d(params, bstats, flax_path + ("ff", "f_2"), state,
+                f"{torch_name}.ff.f_2")
+    _map_ln(params, bstats, flax_path + ("ff", "layer_norm"), state,
+            f"{torch_name}.ff.layer_norm")
+
+
+def _map_encoder_stack(params, bstats, flax_prefix, state, torch_prefix,
+                       n_layers, embedding=True):
+    if embedding:
+        _map_embed(params, bstats, flax_prefix + ("embed",), state,
+                   f"{torch_prefix}.embed")
+    else:
+        _map_linear(params, bstats, flax_prefix + ("embed",), state,
+                    f"{torch_prefix}.embed")
+    _set(params, flax_prefix + ("pe", "alpha"),
+         _to_np(state[f"{torch_prefix}.pe.alpha"]))
+    for i in range(n_layers):
+        _map_encoder_layer(params, bstats, flax_prefix + (f"layers_{i}",),
+                           state, f"{torch_prefix}.layers.{i}")
+    _map_ln(params, bstats, flax_prefix + ("norm",), state,
+            f"{torch_prefix}.norm")
+
+
+def _map_variance_predictor(params, bstats, flax_prefix, state,
+                            torch_prefix):
+    _map_conv1d(params, bstats, flax_prefix + ("conv1",), state,
+                f"{torch_prefix}.conv1")
+    _map_conv1d(params, bstats, flax_prefix + ("conv2",), state,
+                f"{torch_prefix}.conv2")
+    _map_ln(params, bstats, flax_prefix + ("layer_norm1",), state,
+            f"{torch_prefix}.layer_norm1")
+    _map_ln(params, bstats, flax_prefix + ("layer_norm2",), state,
+            f"{torch_prefix}.layer_norm2")
+    _map_linear(params, bstats, flax_prefix + ("linear_layer",), state,
+                f"{torch_prefix}.linear_layer")
+
+
+def convert_fastspeech2_state_dict(
+    state_dict: Dict, hp,
+) -> Tuple[Dict, Dict]:
+    """Reference FastSpeech2 state_dict -> (params, batch_stats) trees.
+
+    Supports the transformer encoder/decoder configuration with the
+    standard variance adaptor and PostConvNet/Dense output head.
+    """
+    state = _strip_module_prefix(state_dict)
+    params: Dict = {}
+    bstats: Dict = {}
+
+    _map_encoder_stack(params, bstats, ("encoder",), state, "encoder",
+                       hp.n_layer_encoder, embedding=True)
+    _map_encoder_stack(params, bstats, ("decoder",), state, "decoder",
+                       hp.n_layer_decoder, embedding=False)
+
+    va = ("variance_adaptor",)
+    _map_variance_predictor(params, bstats, va + ("duration_predictor",),
+                            state, "variance_adaptor.duration_predictor")
+    if hp.pitch_pred:
+        _map_variance_predictor(params, bstats, va + ("pitch_predictor",),
+                                state, "variance_adaptor.pitch_predictor")
+        _map_embed(params, bstats, va + ("pitch_embedding",), state,
+                   "variance_adaptor.pitch_embedding")
+    if hp.energy_pred:
+        _map_variance_predictor(params, bstats, va + ("energy_predictor",),
+                                state, "variance_adaptor.energy_predictor")
+        _map_embed(params, bstats, va + ("energy_embedding",), state,
+                   "variance_adaptor.energy_embedding")
+
+    if hp.postnet_pred:
+        pn = ("postnet",)
+        _map_linear(params, bstats, pn + ("out",), state, "postnet.out")
+        _map_conv1d(params, bstats, pn + ("conv1",), state, "postnet.conv1")
+        _map_conv1d(params, bstats, pn + ("conv2",), state, "postnet.conv2")
+        _map_bn(params, bstats, pn + ("pre_batchnorm",), state,
+                "postnet.pre_batchnorm")
+        for i in range(3):
+            _map_conv1d(params, bstats, pn + (f"conv_list_{i}",), state,
+                        f"postnet.conv_list.{i}")
+            _map_bn(params, bstats, pn + (f"batch_norm_list_{i}",), state,
+                    f"postnet.batch_norm_list.{i}")
+    else:
+        _map_linear(params, bstats, ("out",), state, "out")
+    return params, bstats
+
+
+def load_reference_checkpoint(path: str, hp):
+    """torch.load a reference ``network.epoch{N}`` file and convert."""
+    import torch
+    state = torch.load(path, map_location="cpu")
+    return convert_fastspeech2_state_dict(state, hp)
