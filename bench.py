@@ -90,6 +90,39 @@ def main():
     step_time = (time.perf_counter() - t0) / n_steps
     frames_per_sec = (b * tt) / step_time
 
+    # ---------------- AR Transformer-TTS synthesis RTF ----------------
+    # KV-cached incremental decode; the reference's loop re-forwards the
+    # whole prefix each step (test.py:158-184). Untrained stop heads never
+    # fire, so this measures the worst case: all max_steps decoded.
+    from transformer_tts_tpu.infer.synthesize import (
+        synthesize_transformer_tts)
+    from transformer_tts_tpu.train.trainer import init_transformer_state
+    hp_ar = HParams(model="Transformer", amp=True, batch_size=8,
+                    reduction_rate=2)
+    ar_model, ar_state = init_transformer_state(hp_ar, rng)
+    ar_vars = {"params": ar_state.params,
+               "batch_stats": ar_state.batch_stats}
+    ar_steps = 250                       # 500 frames at r=2
+    ar_text = jnp.asarray(
+        rs.randint(1, hp_ar.vocab_size, (1, l)).astype(np.int32))
+    ar_pos = jnp.tile(jnp.arange(1, l + 1)[None], (1, 1))
+    # stop_threshold > 1 forces a full-length decode (untrained stop
+    # heads would otherwise fire immediately)
+    mel_ar, _ = synthesize_transformer_tts(
+        ar_model, ar_vars, ar_text, ar_pos, max_steps=ar_steps,
+        stop_threshold=2.0)
+    mel_ar.block_until_ready()           # compile
+    n_ar = 3
+    t0 = time.perf_counter()
+    for _ in range(n_ar):
+        mel_ar, _ = synthesize_transformer_tts(
+            ar_model, ar_vars, ar_text, ar_pos, max_steps=ar_steps,
+            stop_threshold=2.0)
+    mel_ar.block_until_ready()
+    ar_time = (time.perf_counter() - t0) / n_ar
+    ar_frames = ar_steps * hp_ar.reduction_rate
+    ar_rtf = ar_time / (ar_frames * FRAME_SECONDS)
+
     print(json.dumps({
         "metric": "fastspeech2_synthesis_rtf",
         "value": round(rtf, 6),
@@ -98,6 +131,8 @@ def main():
         "synth_ms_per_utt": round(synth_time * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
         "train_step_ms": round(step_time * 1000, 2),
+        "ar_synthesis_rtf": round(ar_rtf, 5),
+        "ar_ms_per_step": round(ar_time / ar_steps * 1000, 3),
         "device": str(jax.devices()[0]),
     }))
 

@@ -167,3 +167,42 @@ def test_mse_loss_arelbo_matches_reference():
     np.testing.assert_allclose(
         float(L.mse_loss_arelbo(jnp.asarray(a), jnp.asarray(b))), ref,
         rtol=1e-5)
+
+
+def test_softmax_output_loss_matches_torch_cross_entropy():
+    import torch
+    import torch.nn.functional as F
+    rs = np.random.RandomState(4)
+    B, T, C = 2, 6, 5
+    pred = rs.randn(B, T, 2 * C).astype(np.float32)
+    targets = rs.randint(0, C, (B, T, 2))
+    targets[0, -1] = 320   # padding
+    loss, accs = L.softmax_output_loss(
+        jnp.asarray(pred), jnp.asarray(targets), C)
+    ref1 = F.cross_entropy(torch.tensor(pred[:, :, :C]).permute(0, 2, 1),
+                           torch.tensor(targets[:, :, 0]),
+                           ignore_index=320)
+    ref2 = F.cross_entropy(torch.tensor(pred[:, :, C:]).permute(0, 2, 1),
+                           torch.tensor(targets[:, :, 1]),
+                           ignore_index=320)
+    np.testing.assert_allclose(float(loss), float(ref1 + ref2), rtol=1e-5)
+    assert 0.0 <= float(accs["accuracy_1"]) <= 1.0
+
+
+def test_channel_wise_l1():
+    rs = np.random.RandomState(5)
+    a = rs.randn(2, 4, 30).astype(np.float32)
+    b = rs.randn(2, 4, 30).astype(np.float32)
+    got = float(L.channel_wise_l1(jnp.asarray(a), jnp.asarray(b),
+                                  (2.0, 0.5), split=20))
+    ref = (2.0 * np.abs(a[:, :, :20] - b[:, :, :20]).mean()
+           + 0.5 * np.abs(a[:, :, 20:] - b[:, :, 20:]).mean())
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_epoch_decay_factor():
+    from transformer_tts_tpu.train.schedule import epoch_decay_factor
+    assert epoch_decay_factor(5, 10) == 1.0
+    np.testing.assert_allclose(epoch_decay_factor(12, 10), 0.8 ** 2)
+    np.testing.assert_allclose(
+        epoch_decay_factor(25, 3, reset_optimizer_epoch=10), 0.8 ** 2)

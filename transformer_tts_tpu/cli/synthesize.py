@@ -44,6 +44,9 @@ def main(argv=None):
     parser.add_argument("--post_model", type=str, default=None,
                         help="mel-mel student checkpoint dir (dev path)")
     parser.add_argument("--max_frames", type=int, default=2048)
+    parser.add_argument("--use_prenet", action="store_true",
+                        help="save the pre-postnet mel (test_fastspeech2 "
+                             "--use_prenet equivalent)")
     args = parser.parse_args(argv)
 
     import random
@@ -125,6 +128,7 @@ def main(argv=None):
                 if args.duration_perturbation else 1.0
             mel, mel_len, durations = synthesize_fastspeech2(
                 model, variables, text, pos_text, args.max_frames,
+                use_prenet=args.use_prenet,
                 spk_emb=spk_emb,
                 accent=(jnp.asarray(batch["accent"])
                         if "accent" in batch else None),

@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--hp_file", type=str, required=True)
     parser.add_argument("--max_steps", type=int, default=None,
                         help="debug: stop after N steps")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="hparams override (reference "
+                             "overwrite_hparams equivalent)")
     args = parser.parse_args(argv)
 
     import jax
@@ -49,6 +53,14 @@ def main(argv=None):
         make_integrate_train_step)
 
     hp = load_hparams(args.hp_file)
+    import ast
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        hp.override(**{key: value})
     hp.log_config()
     hp.snapshot(hp.save_dir)
 
@@ -132,6 +144,20 @@ def main(argv=None):
         from transformer_tts_tpu.utils import start_profiler
         start_profiler(hp.profile_dir)
 
+    # ---- preemption safety (no reference equivalent; SURVEY.md §5
+    # notes the reference has no failure recovery at all) ----
+    import signal
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum}: checkpointing and stopping...")
+        stop_requested["flag"] = True
+    try:
+        signal.signal(signal.SIGTERM, _request_stop)
+        signal.signal(signal.SIGINT, _request_stop)
+    except ValueError:
+        pass   # non-main thread (tests)
+
     # ---- epoch loop ----
     global_step = int(state.step)
     for epoch in range(start_epoch, hp.max_epoch):
@@ -156,6 +182,8 @@ def main(argv=None):
                         **{k: v for k, v in logs.items()
                            if np.ndim(v) == 0})
             assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
+            if stop_requested["flag"]:
+                break
             if args.max_steps and global_step >= args.max_steps:
                 break
         if jax.process_index() == 0:
@@ -164,6 +192,11 @@ def main(argv=None):
                     hp.save_dir, state, epoch + 1,
                     with_optimizer=(epoch + 1) % hp.save_per_epoch == 0)
         print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+        if stop_requested["flag"]:
+            if jax.process_index() == 0:
+                ckpt.save_checkpoint(hp.save_dir, state, epoch + 1)
+                print(f"preemption checkpoint saved at epoch {epoch + 1}")
+            break
         if args.max_steps and global_step >= args.max_steps:
             break
     if hp.profile_dir:

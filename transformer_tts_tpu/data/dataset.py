@@ -134,6 +134,17 @@ class TTSDataset:
         if self.test_mode:
             return sample
 
+        if hp.output_type:
+            # discrete dual-stream tokens (VQWav2vecTrainDatasets,
+            # datasets_fastspeech2.py:419-467): (T, 2) int codes, no
+            # normalization, no go-frame
+            tokens = np.load(mel_name).astype(np.int32)
+            if tokens.ndim == 1:
+                tokens = tokens[:, None]
+            sample["mel"] = tokens
+            sample["mel_length"] = tokens.shape[0]
+            return sample
+
         mel = self._load_mel(mel_name)
         if self.is_ar:
             mel = np.concatenate(

@@ -45,7 +45,8 @@ def denormalize(mel: jnp.ndarray, mean: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("model", "max_frames",
                                              "pitch_scale",
-                                             "duration_scale"))
+                                             "duration_scale",
+                                             "use_prenet"))
 def synthesize_fastspeech2(
     model: FastSpeech2,
     variables,
@@ -60,6 +61,7 @@ def synthesize_fastspeech2(
     *,
     pitch_scale: float = 1.0,
     duration_scale: float = 1.0,
+    use_prenet: bool = False,
 ):
     """One NAR forward; returns (mel (B,T,mel), mel_len (B,), durations)."""
     src_mask = pad_mask(pos_text)
@@ -67,7 +69,10 @@ def synthesize_fastspeech2(
         variables, text, src_mask, max_frames, accent=accent,
         spk_emb=spk_emb, hop_size=hop_size, train=False,
         pitch_scale=pitch_scale, duration_scale=duration_scale)
-    mel = out.mel_post if out.mel_post is not None else out.mel_pre
+    if use_prenet or out.mel_post is None:
+        mel = out.mel_pre
+    else:
+        mel = out.mel_post
     if mean is not None and var is not None:
         mel = denormalize(mel, mean, var)
     durations = jnp.round(
@@ -76,7 +81,8 @@ def synthesize_fastspeech2(
     return mel, out.mel_len, durations.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("model", "max_steps",
+                                             "stop_threshold"))
 def synthesize_transformer_tts(
     model: TransformerTTS,
     variables,
@@ -88,6 +94,7 @@ def synthesize_transformer_tts(
     var: Optional[jnp.ndarray] = None,
     *,
     max_steps: int = MAX_AR_STEPS,
+    stop_threshold: float = 0.5,
 ):
     """Incremental AR synthesis with KV caches.
 
@@ -110,6 +117,9 @@ def synthesize_transformer_tts(
     e_outputs, _ = model.apply(
         variables, text, src_mask, spk_emb, ref_mel, train=False,
         method=TransformerTTS.encode)
+    # cross-attention K/V never change during decode: project once
+    cross_kvs = model.apply(variables, e_outputs,
+                            method=TransformerTTS.precompute_cross_kv)
 
     caches = tuple(
         (jnp.zeros((b, heads, max_steps, d_k), dtype),
@@ -132,13 +142,14 @@ def synthesize_transformer_tts(
     def body(c):
         group, stop, new_caches = model.apply(
             variables, c["prev"], e_outputs, src_mask, c["caches"],
-            c["step"], spk_emb, method=TransformerTTS.decode_step)
+            c["step"], spk_emb, cross_kvs,
+            method=TransformerTTS.decode_step)
         group_f32 = group.astype(jnp.float32)
         groups = jax.lax.dynamic_update_slice_in_dim(
             c["groups"], group_f32, c["step"], axis=1)
         # stop rule (test.py:178-184): mean over the r stop logits
         p_stop = jax.nn.sigmoid(stop.astype(jnp.float32))[:, 0]
-        stop_now = jnp.mean(p_stop, axis=-1) > 0.5
+        stop_now = jnp.mean(p_stop, axis=-1) > stop_threshold
         newly_done = stop_now & ~c["done"]
         length = jnp.where(newly_done, c["step"] + 1, c["length"])
         # next input: first frame of the predicted group (test.py:171-176)

@@ -137,6 +137,26 @@ class DecoderLayer(nn.Module):
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def setup(self):
+        self.norm_1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm_2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm_3 = nn.LayerNorm(dtype=self.dtype)
+        mha = lambda: MultiHeadAttention(  # noqa: E731
+            heads=self.heads, d_model=self.d_model, dropout=self.dropout,
+            concat_after=self.concat_after, use_flash=self.use_flash,
+            dtype=self.dtype)
+        self.attn_1 = mha()
+        self.attn_2 = mha()
+        self.ff = ConvFeedForward(self.d_model, self.ff_kernel_size,
+                                  self.dropout, dtype=self.dtype)
+        if self.spk_emb_dim is not None:
+            self.spk_bias = SpeakerBias(self.d_model, self.spk_emb_dim,
+                                        dtype=self.dtype)
+
+    def cross_kv(self, e_outputs):
+        """Precompute this layer's cross-attention K/V (AR decode hoist)."""
+        return self.attn_2.project_kv(e_outputs, e_outputs)
+
     @nn.compact
     def __call__(self, x, e_outputs, src_mask, trg_mask, spk_emb=None, *,
                  train: bool = True, collect_attn: bool = False,
@@ -146,45 +166,35 @@ class DecoderLayer(nn.Module):
         """Returns (x, attn_self, attn_cross[, new_self_cache]).
 
         ``self_cache``/``cache_index``: static-shape KV cache for scan
-        decoding. ``cross_cache``: precomputed encoder K/V — pass through
-        MultiHeadAttention's cache with index 0 semantics is not needed
-        since cross K/V never change; we simply recompute the projection
-        when no cache is given, or reuse the cached tensors.
+        decoding. ``cross_cache``: precomputed encoder K/V head tensors
+        from ``cross_kv`` — constant across decode steps, so computing
+        them once outside the loop removes the dominant per-step cost.
         """
         drop = nn.Dropout(self.dropout, deterministic=not train)
         res = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_1")(x)
-        attn_1_mod = MultiHeadAttention(
-            heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            concat_after=self.concat_after, use_flash=self.use_flash,
-            dtype=self.dtype, name="attn_1")
+        h = self.norm_1(x)
         new_self_cache = None
         if self_cache is not None:
-            out, attn_1, new_self_cache = attn_1_mod(
+            out, attn_1, new_self_cache = self.attn_1(
                 h, h, h, trg_mask, train=train, collect_attn=collect_attn,
                 cache=self_cache, cache_index=cache_index)
         else:
-            out, attn_1 = attn_1_mod(h, h, h, trg_mask, train=train,
-                                     collect_attn=collect_attn,
-                                     k_len=self_k_len, causal=True)
+            out, attn_1 = self.attn_1(h, h, h, trg_mask, train=train,
+                                      collect_attn=collect_attn,
+                                      k_len=self_k_len, causal=True)
         x = res + drop(out)
         res = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_2")(x)
-        out, attn_2 = MultiHeadAttention(
-            heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            concat_after=self.concat_after, use_flash=self.use_flash,
-            dtype=self.dtype, name="attn_2",
-        )(h, e_outputs, e_outputs, src_mask, train=train,
-          collect_attn=collect_attn, k_len=cross_k_len)
+        h = self.norm_2(x)
+        out, attn_2 = self.attn_2(
+            h, e_outputs, e_outputs, src_mask, train=train,
+            collect_attn=collect_attn, k_len=cross_k_len,
+            precomputed_kv=cross_cache)
         x = res + drop(out)
         res = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_3")(x)
+        h = self.norm_3(x)
         if self.spk_emb_dim is not None and spk_emb is not None:
-            h = h + SpeakerBias(self.d_model, self.spk_emb_dim,
-                                dtype=self.dtype, name="spk_bias")(spk_emb)
-        ff = ConvFeedForward(self.d_model, self.ff_kernel_size,
-                             self.dropout, dtype=self.dtype, name="ff")
-        x = res + drop(ff(h, train=train))
+            h = h + self.spk_bias(spk_emb)
+        x = res + drop(self.ff(h, train=train))
         if self_cache is not None:
             return x, attn_1, attn_2, new_self_cache
         return x, attn_1, attn_2

@@ -143,11 +143,17 @@ class TransformerTTS(nn.Module):
             e_outputs = e_outputs + self.spk_proj(norm)[:, None, :]
         return e_outputs, attn_enc
 
+    def precompute_cross_kv(self, e_outputs):
+        """Per-decoder-layer cross-attention K/V (constant across steps)."""
+        return self.decoder.precompute_cross_kv(e_outputs)
+
     def decode_step(self, prev_frame, e_outputs, src_mask, caches,
-                    cache_index, spk_emb=None):
+                    cache_index, spk_emb=None, cross_kvs=None):
         """One AR step: (B, 1, mel) prev frame -> frame group + stop.
 
         ``caches``: per-layer (k, v) of shape (B, H, max_steps, d_k).
+        ``cross_kvs``: from ``precompute_cross_kv`` — hoists the dominant
+        per-step cost (cross K/V projections) out of the loop.
         Returns (mel_group (B, 1, mel*r), stop (B, 1, r), new_caches).
         """
         max_steps = caches[0][0].shape[2]
@@ -159,7 +165,7 @@ class TransformerTTS(nn.Module):
         d, _, _, new_caches = self.decoder(
             prev_frame, e_outputs, src_mask, trg_mask, spk_emb,
             train=False, caches=caches, cache_index=cache_index,
-            pos_offset=cache_index)
+            pos_offset=cache_index, cross_kvs=cross_kvs)
         return self.out(d), self.stop_token(d), new_caches
 
     def apply_postnet(self, mel_pre, *, train: bool = False):

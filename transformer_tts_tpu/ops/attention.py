@@ -86,6 +86,24 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def setup(self):
+        self.q_linear = nn.Dense(self.d_model, dtype=self.dtype)
+        self.k_linear = nn.Dense(self.d_model, dtype=self.dtype)
+        self.v_linear = nn.Dense(self.d_model, dtype=self.dtype)
+        self.out = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        d_k = self.d_model // self.heads
+        return x.reshape(b, -1, self.heads, d_k).transpose(0, 2, 1, 3)
+
+    def project_kv(self, k_in: jnp.ndarray, v_in: jnp.ndarray):
+        """Precompute (k, v) head tensors — used to hoist the
+        cross-attention projections out of the AR decode loop (the
+        reference recomputes them every step, test.py:158-184)."""
+        return self._heads(self.k_linear(k_in)), \
+            self._heads(self.v_linear(v_in))
+
     @nn.compact
     def __call__(
         self,
@@ -100,23 +118,23 @@ class MultiHeadAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         k_len: Optional[jnp.ndarray] = None,
         causal: bool = False,
+        precomputed_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         """Returns (output, attn_or_None[, updated_cache]).
 
         Incremental decode: with ``cache=(k_cache, v_cache)`` of shape
         (B, H, T_max, d_k) and ``cache_index`` = current step, the new k/v
         rows are written at ``cache_index`` and attention runs over the full
-        static cache (caller masks out future rows).
+        static cache (caller masks out future rows). ``precomputed_kv``
+        short-circuits the k/v projections entirely (static cross-attention
+        keys during AR decode).
         """
-        d_k = self.d_model // self.heads
-        dense = lambda name: nn.Dense(  # noqa: E731
-            self.d_model, dtype=self.dtype, name=name)
         b = q_in.shape[0]
-
-        q = dense("q_linear")(q_in).reshape(b, -1, self.heads, d_k)
-        k = dense("k_linear")(k_in).reshape(b, -1, self.heads, d_k)
-        v = dense("v_linear")(v_in).reshape(b, -1, self.heads, d_k)
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        q = self._heads(self.q_linear(q_in))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            k, v = self.project_kv(k_in, v_in)
 
         new_cache = None
         if cache is not None:
@@ -147,9 +165,7 @@ class MultiHeadAttention(nn.Module):
         concat = context.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
         if self.concat_after:
             concat = jnp.concatenate([q_in, concat], axis=-1)
-            out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(concat)
-        else:
-            out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(concat)
+        out = self.out(concat)
 
         attn = probs if collect_attn else None
         if cache is not None:

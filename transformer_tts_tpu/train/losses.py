@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,6 +29,15 @@ def l1(pred: jnp.ndarray, target: jnp.ndarray,
         return err.mean()
     mask = jnp.broadcast_to(mask, err.shape).astype(jnp.float32)
     return (err * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def channel_wise_l1(pred: jnp.ndarray, target: jnp.ndarray,
+                    channel_weight, split: int = 20) -> jnp.ndarray:
+    """Split-band weighted L1 (reference loss_mel channel_wise,
+    train_fastspeech2.py:90-98: channels [0:20) and [20:) weighted)."""
+    w0, w1 = channel_weight
+    return (w0 * l1(pred[:, :, :split], target[:, :, :split])
+            + w1 * l1(pred[:, :, split:], target[:, :, split:]))
 
 
 def duration_loss(log_d_pred: jnp.ndarray, d_target: jnp.ndarray,
@@ -78,7 +88,6 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, data_range: float = None,
     Replaces torchmetrics' StructuralSimilarityIndexMeasure used at
     train_fastspeech2.py:289-292 (gaussian-window SSIM, k1=.01, k2=.03).
     """
-    import jax
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     if data_range is None:
@@ -115,6 +124,8 @@ def fastspeech2_loss(
     use_ssim: bool = False,
     use_sq_vae: bool = False,
     log_offset: float = 1.0,
+    channel_wise: bool = False,
+    channel_weight=None,
 ):
     """Total FastSpeech2 loss + component dict (train_fastspeech2.py:197-302).
 
@@ -128,14 +139,20 @@ def fastspeech2_loss(
     smask = src_mask[:, 0, :] if (masked and src_mask is not None) else None
 
     logs = {}
-    if use_sq_vae:
+    if channel_wise:
+        cw = channel_weight if channel_weight is not None else (1.0, 1.0)
+        mel_loss = channel_wise_l1(out.mel_pre, mel, cw)
+    elif use_sq_vae:
         mel_loss = mse_loss_arelbo(out.mel_pre, mel)
     else:
         mel_loss = l1(out.mel_pre, mel, fmask)
     logs["loss_frame_before"] = mel_loss
     total = mel_loss
     if out.mel_post is not None:
-        post_loss = l1(out.mel_post, mel, fmask)
+        if channel_wise:
+            post_loss = channel_wise_l1(out.mel_post, mel, cw)
+        else:
+            post_loss = l1(out.mel_post, mel, fmask)
         logs["loss_frame_after"] = post_loss
         total = total + post_loss
 
@@ -212,3 +229,37 @@ def cosine_embedding_loss(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
     cos = num / jnp.maximum(den, 1e-8)
     return jnp.mean(1.0 - cos)
+
+
+def softmax_output_loss(pred: jnp.ndarray, targets: jnp.ndarray,
+                        num_classes: int, ignore_index: int = 320):
+    """Discrete dual-stream output loss (train_fastspeech2.py:182-195).
+
+    ``pred``: (B, T, 2*num_classes) logits, first/second half per stream;
+    ``targets``: (B, T, 2) int codes, ``ignore_index`` = padding.
+    Returns (loss, {accuracy_1, accuracy_2}).
+
+    NOTE: the reference's wiring of this mode is internally inconsistent
+    (the output head is Linear(d, mel_dim) yet the loss slices
+    [:, :, mel_dim:] — an empty tensor unless mel_dim is set to
+    2*num_classes); this implementation defines the working contract.
+    """
+    logits1 = pred[:, :, :num_classes].astype(jnp.float32)
+    logits2 = pred[:, :, num_classes:].astype(jnp.float32)
+    t1 = targets[:, :, 0]
+    t2 = targets[:, :, 1]
+
+    def ce(logits, t):
+        valid = (t != ignore_index)
+        t_safe = jnp.where(valid, t, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, t_safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        n = jnp.maximum(valid.sum(), 1)
+        acc = (jnp.where(valid, logits.argmax(-1) == t, False).sum()
+               / n.astype(jnp.float32))
+        return nll.sum() / n, acc
+
+    l1_, acc1 = ce(logits1, t1)
+    l2_, acc2 = ce(logits2, t2)
+    return l1_ + l2_, {"accuracy_1": acc1, "accuracy_2": acc2}

@@ -32,6 +32,19 @@ def noam_schedule(d_model: int, warmup_factor: float = 1.0,
     return schedule
 
 
+def epoch_decay_factor(epoch: int, lr_adjust_epoch, 
+                       reset_optimizer_epoch=None,
+                       decay: float = 0.8) -> float:
+    """Epoch-based LR decay factor (reference ``adjust_learning_rate``,
+    utils/utils.py:136-151): multiply by 0.8 per epoch past
+    ``lr_adjust_epoch`` (modulo ``reset_optimizer_epoch`` when set)."""
+    if reset_optimizer_epoch is not None:
+        over = max(0, (epoch % reset_optimizer_epoch) - lr_adjust_epoch)
+    else:
+        over = max(0, epoch - lr_adjust_epoch)
+    return decay ** over
+
+
 def build_optimizer(
     name: str,
     d_model: int,

@@ -171,11 +171,11 @@ def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
         temperature = (jnp.exp(-1e-5 * state.step.astype(jnp.float32))
                        if hp.use_sq_vae else None)
 
-        def loss_fn(params):
+        def forward(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats,
                          "vq_stats": state.vq_stats}
-            out, mutated = model.apply(
+            return model.apply(
                 variables, batch["text"], src_mask, max_frames,
                 batch["alignment"], batch.get("f0"), batch.get("energy"),
                 mel_mask=mel_mask,
@@ -184,12 +184,22 @@ def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
                 hop_size=batch.get("hop_size"), temperature=temperature,
                 train=True, rngs={"dropout": rng},
                 mutable=["batch_stats", "vq_stats"])
+
+        if hp.remat:
+            # whole-forward rematerialization: trade ~1/3 more FLOPs for
+            # activation memory (long buckets / large batches)
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, mutated = forward(params)
             total, logs = L.fastspeech2_loss(
                 out, batch["mel"], batch["alignment"],
                 batch.get("f0"), batch.get("energy"),
                 src_mask=src_mask, mel_mask=mel_mask,
                 masked=False, use_ssim=hp.use_ssim,
-                use_sq_vae=hp.use_sq_vae, log_offset=hp.log_offset)
+                use_sq_vae=hp.use_sq_vae, log_offset=hp.log_offset,
+                channel_wise=hp.channel_wise,
+                channel_weight=hp.channel_weight)
             return total, (logs, mutated)
 
         (loss, (logs, mutated)), grads = jax.value_and_grad(
