@@ -187,3 +187,31 @@ def test_sq_fastspeech2_model_and_trainer():
          "vq_stats": state.vq_stats},
         batch["text"], src_mask, 48, train=False)
     assert out.mel_pre.shape == (2, 48, 16)
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """accum_grad=2 on half-batches ~ one step on the full batch
+    (reference hp.accum_grad, train.py:248-263; here optax.MultiSteps)."""
+    hp1 = tiny_hp(warmup_factor=1.0)
+    hp2 = tiny_hp(warmup_factor=1.0, accum_grad=2)
+    model, state1 = init_fastspeech2_state(hp1, jax.random.PRNGKey(0))
+    _, state2 = init_fastspeech2_state(hp2, jax.random.PRNGKey(0))
+    batch = make_batch(0, b=4)
+    half1 = {k: v[:2] for k, v in batch.items()}
+    half2 = {k: v[2:] for k, v in batch.items()}
+
+    step1 = make_fastspeech2_train_step(model, hp1, donate=False)
+    step2 = make_fastspeech2_train_step(model, hp2, donate=False)
+    rng = jax.random.PRNGKey(9)
+
+    state1, logs_full = step1(state1, batch, rng)
+
+    # accumulate two half-batches; params must not change after the
+    # first micro-step, and must change after the second
+    p0 = np.asarray(jax.tree.leaves(state2.params)[0])
+    state2, _ = step2(state2, half1, rng)
+    p1 = np.asarray(jax.tree.leaves(state2.params)[0])
+    np.testing.assert_array_equal(p0, p1)
+    state2, _ = step2(state2, half2, rng)
+    p2 = np.asarray(jax.tree.leaves(state2.params)[0])
+    assert not np.allclose(p1, p2)

@@ -169,13 +169,14 @@ def main(argv=None):
             arrays = shard_batch(arrays, mesh)
             state, logs = step_fn(state, arrays, step_rng)
             global_step += 1
-            if args.max_steps or global_step % 1 == 0:
-                parts = " ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
-                    if np.ndim(v) == 0)
-                print(f"epoch {epoch + 1} step {global_step} {parts} "
-                      f"({time.time() - t0:.3f}s)")
-                sys.stdout.flush()
+            # per-step loss prints are the reference's observability
+            # contract (train_fastspeech2.py:242-299)
+            parts = " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
+                if np.ndim(v) == 0)
+            print(f"epoch {epoch + 1} step {global_step} {parts} "
+                  f"({time.time() - t0:.3f}s)")
+            sys.stdout.flush()
             loss = float(logs["loss_total"])
             timer.tick()
             metrics.log(global_step, steps_per_sec=timer.steps_per_sec,
