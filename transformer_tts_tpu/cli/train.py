@@ -35,9 +35,15 @@ def main(argv=None):
                         metavar="KEY=VALUE",
                         help="hparams override (reference "
                              "overwrite_hparams equivalent)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() for multi-host "
+                             "pods (the mp.spawn/NCCL-rendezvous "
+                             "equivalent, train_fastspeech2.py:352-374)")
     args = parser.parse_args(argv)
 
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     from transformer_tts_tpu.config import load_hparams
     from transformer_tts_tpu.data import TTSDataset, DataLoader
