@@ -106,3 +106,63 @@ def test_parse_hparams_cli(corpus, tmp_path, capsys):
     hp_path, _ = write_hp(tmp_path, corpus)
     parse_hparams.main(["--hp_file", hp_path, "--key", "vocab_size"])
     assert capsys.readouterr().out.strip() == "20"
+
+
+def test_melmel_and_integrate_cli_paths(corpus, tmp_path):
+    """text-mel pretrain -> mel-mel student train -> synth with post model;
+    plus the text-mel-mel integrate trainer."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+
+    # 1) pretrain a tiny FS2 teacher
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1)
+    cli_train.main(["--hp_file", hp_path])
+
+    # 2) mel-mel student training on the frozen teacher
+    post_dir = str(tmp_path / "post_ckpt")
+    hp2, _ = write_hp(
+        tmp_path, corpus, max_epoch=1,
+        architecture="mel-mel", version=3, phone_embed=True,
+        n_layer_post_model=1, pretrain_model=str(save_dir),
+        save_dir=post_dir)
+    cli_train.main(["--hp_file", hp2])
+    assert os.path.isdir(os.path.join(post_dir, "epoch_1"))
+
+    # 3) synthesis with the post model (residual v3)
+    out_dir = str(tmp_path / "gen_post")
+    cli_synth.main(["--load_name", save_dir, "--save", out_dir,
+                    "--post_model", post_dir, "--max_frames", "64",
+                    "--hp_file", hp2])
+    assert os.path.exists(os.path.join(out_dir, "0.npy"))
+
+    # 4) integrate (text-mel-mel) training
+    int_dir = str(tmp_path / "int_ckpt")
+    hp3, _ = write_hp(
+        tmp_path, corpus, max_epoch=1,
+        architecture="text-mel-mel", version=3, phone_embed=True,
+        postnet_pred=False, n_layer_post_model=1, save_dir=int_dir)
+    cli_train.main(["--hp_file", hp3])
+    assert os.path.isdir(os.path.join(int_dir, "epoch_1"))
+
+
+def test_sq_cli_path(corpus, tmp_path):
+    from transformer_tts_tpu.cli import train as cli_train
+    sq_dir = str(tmp_path / "sq_ckpt")
+    hp_path, _ = write_hp(tmp_path, corpus, max_epoch=1,
+                          model="SQFastspeech2", save_dir=sq_dir)
+    cli_train.main(["--hp_file", hp_path])
+    assert os.path.isdir(os.path.join(sq_dir, "epoch_1"))
+
+
+def test_ar_transformer_cli_path(corpus, tmp_path):
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    ar_dir = str(tmp_path / "ar_ckpt")
+    hp_path, _ = write_hp(tmp_path, corpus, max_epoch=1,
+                          model="Transformer", reduction_rate=2,
+                          ff_conv_kernel_size_decoder=1, save_dir=ar_dir)
+    cli_train.main(["--hp_file", hp_path])
+    assert os.path.isdir(os.path.join(ar_dir, "epoch_1"))
+    out_dir = str(tmp_path / "gen_ar")
+    cli_synth.main(["--load_name", ar_dir, "--save", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "0.npy"))

@@ -47,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--use_prenet", action="store_true",
                         help="save the pre-postnet mel (test_fastspeech2 "
                              "--use_prenet equivalent)")
+    parser.add_argument("--ref_mel", type=str, default=None,
+                        help="reference mel .npy for GST style "
+                             "conditioning at synthesis "
+                             "(transformer.py:96-101 eval path)")
     args = parser.parse_args(argv)
 
     import random
@@ -103,6 +107,10 @@ def main(argv=None):
 
     dataset = TTSDataset(hp.test_script, hp, test_mode=True)
     prng = random.Random(77)
+    ref_mel = None
+    if args.ref_mel is not None:
+        ref_np = normalizer(np.load(args.ref_mel).astype(np.float32))
+        ref_mel = jnp.asarray(ref_np)[None]
 
     start_time = time.time()
     elapsed = 0.0
@@ -116,7 +124,7 @@ def main(argv=None):
         t0 = time.time()
         if is_ar:
             mel, lengths = synthesize_transformer_tts(
-                model, variables, text, pos_text, spk_emb,
+                model, variables, text, pos_text, spk_emb, ref_mel,
                 mean=mean_j, var=var_j)
             n = int(lengths[0])
             out = np.asarray(mel[0, :n])

@@ -122,7 +122,7 @@ _DEFAULTS: Dict[str, Any] = {
     "vq_code": False,
     # --- post-processing (mel-mel research line) ---------------------------
     "version": None,                  # PostLowEnergy version 1-10
-    "mel_dim_post": 80,
+    "mel_dim_post": None,             # defaults to mel_dim
     "n_layer_post_model": 6,
     "ff_conv_kernel_size_post": 5,
     "concat_after_post": True,
@@ -144,7 +144,11 @@ _DEFAULTS: Dict[str, Any] = {
     # --- TPU-specific (new; no reference equivalent) -----------------------
     "length_buckets": (128, 256, 512, 768, 1024, 1536, 2048),
     "text_buckets": (32, 64, 96, 128, 192, 256),
-    "use_flash_attention": True,      # pallas kernel when maps not needed
+    # Pallas flash-attention kernel. Measured on v5e at parity-config
+    # sizes (T <= 2048) XLA's fused attention is faster, so the default
+    # is off; enable for memory-bound/long-sequence regimes (the kernel
+    # keeps O(T) score storage instead of O(T^2)).
+    "use_flash_attention": False,
     "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
     "remat": False,                   # jax.checkpoint the encoder/decoder
     "debug_nans": False,              # jax.config nan-checking (SURVEY §5)
@@ -228,6 +232,8 @@ class HParams:
         if self.spk_emb_postprocess_type == "x_vector" \
                 and self.spk_emb_dim_postprocess is None:
             self.spk_emb_dim_postprocess = 512
+        if self.mel_dim_post is None:
+            self.mel_dim_post = self.mel_dim
 
     # -- utilities ----------------------------------------------------------
     def as_dict(self) -> Dict[str, Any]:
