@@ -166,3 +166,21 @@ def test_ar_transformer_cli_path(corpus, tmp_path):
     out_dir = str(tmp_path / "gen_ar")
     cli_synth.main(["--load_name", ar_dir, "--save", out_dir])
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
+
+
+def test_batched_synthesis(corpus, tmp_path):
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1)
+    cli_train.main(["--hp_file", hp_path])
+    out_b = str(tmp_path / "gen_batched")
+    cli_synth.main(["--load_name", save_dir, "--save", out_b,
+                    "--max_frames", "64", "--batch_size", "2"])
+    out_1 = str(tmp_path / "gen_single")
+    cli_synth.main(["--load_name", save_dir, "--save", out_1,
+                    "--max_frames", "64", "--batch_size", "1"])
+    for i in range(2):
+        a = np.load(os.path.join(out_b, f"{i}.npy"))
+        b = np.load(os.path.join(out_1, f"{i}.npy"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

@@ -51,6 +51,10 @@ def main(argv=None):
                         help="reference mel .npy for GST style "
                              "conditioning at synthesis "
                              "(transformer.py:96-101 eval path)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="utterances per forward (the reference is "
+                             "batch-1 only; batching amortizes dispatch "
+                             "for production serving)")
     args = parser.parse_args(argv)
 
     import random
@@ -114,9 +118,14 @@ def main(argv=None):
 
     start_time = time.time()
     elapsed = 0.0
-    for idx in range(len(dataset)):
-        sample = dataset[idx]
-        batch = collate([sample], hp, pad_batch=False)
+    bs = max(1, args.batch_size)
+    indices = list(range(len(dataset)))
+    for lo in range(0, len(indices), bs):
+        chunk = indices[lo: lo + bs]
+        samples = [dataset[i] for i in chunk]
+        # pad_batch buckets the batch dim so batch sizes stay static
+        batch = collate(samples, hp, pad_batch=(bs > 1))
+        n_real = len(chunk)
         text = jnp.asarray(batch["text"])
         pos_text = jnp.asarray(batch["pos_text"])
         spk_emb = (jnp.asarray(batch["spk_emb"])
@@ -126,8 +135,8 @@ def main(argv=None):
             mel, lengths = synthesize_transformer_tts(
                 model, variables, text, pos_text, spk_emb, ref_mel,
                 mean=mean_j, var=var_j)
-            n = int(lengths[0])
-            out = np.asarray(mel[0, :n])
+            mel_np = np.asarray(mel)
+            lens = [int(lengths[j]) for j in range(n_real)]
             durations = None
         else:
             p_scale = sample_perturbation(prng) \
@@ -148,16 +157,18 @@ def main(argv=None):
                 mel = _apply_post_model(
                     hp, model, variables, post_model, post_variables,
                     text, pos_text, args.max_frames, mel, mean_j, var_j)
-            n = int(mel_len[0])
-            out = np.asarray(mel[0, :n])
+            mel_np = np.asarray(mel)
+            lens = [int(mel_len[j]) for j in range(n_real)]
         elapsed += time.time() - t0
 
-        out_name = os.path.join(args.save, f"{idx}.npy")
-        np.save(out_name, out)
-        if durations is not None:
-            np.save(os.path.join(args.save, f"{idx}_alignment.npy"),
-                    np.asarray(durations[0]))
-        print(f"save {out_name} ({n} frames)")
+        for j, idx in enumerate(chunk):
+            n = lens[j]
+            out_name = os.path.join(args.save, f"{idx}.npy")
+            np.save(out_name, mel_np[j, :n])
+            if durations is not None:
+                np.save(os.path.join(args.save, f"{idx}_alignment.npy"),
+                        np.asarray(durations[j]))
+            print(f"save {out_name} ({n} frames)")
         sys.stdout.flush()
 
     print(f"elapsed time = {elapsed}")

@@ -189,3 +189,126 @@ def load_reference_checkpoint(path: str, hp):
     import torch
     state = torch.load(path, map_location="cpu")
     return convert_fastspeech2_state_dict(state, hp)
+
+
+def _map_decoder_layer(params, bstats, flax_path, state, torch_name):
+    for n in ("norm_1", "norm_2", "norm_3"):
+        _map_ln(params, bstats, flax_path + (n,), state,
+                f"{torch_name}.{n}")
+    _map_mha(params, bstats, flax_path + ("attn_1",), state,
+             f"{torch_name}.attn_1")
+    _map_mha(params, bstats, flax_path + ("attn_2",), state,
+             f"{torch_name}.attn_2")
+    _map_conv1d(params, bstats, flax_path + ("ff", "f_1"), state,
+                f"{torch_name}.ff.f_1")
+    _map_conv1d(params, bstats, flax_path + ("ff", "f_2"), state,
+                f"{torch_name}.ff.f_2")
+    _map_ln(params, bstats, flax_path + ("ff", "layer_norm"), state,
+            f"{torch_name}.ff.layer_norm")
+
+
+def convert_transformer_state_dict(state_dict: Dict, hp):
+    """Reference AR Transformer state_dict -> (params, batch_stats).
+
+    Covers the transformer encoder + AR decoder + out/stop heads + causal
+    postnet (Models/transformer.py:15-118). GST and the Tacotron2 decoder
+    variant are not yet mapped.
+    """
+    state = _strip_module_prefix(state_dict)
+    params: Dict = {}
+    bstats: Dict = {}
+
+    _map_encoder_stack(params, bstats, ("encoder",), state, "encoder",
+                       hp.n_layer_encoder, embedding=True)
+    if hp.d_model_encoder != hp.d_model_decoder:
+        _map_linear(params, bstats, ("linear",), state, "linear")
+
+    dec = ("decoder",)
+    _map_linear(params, bstats, dec + ("decoder_prenet", "fc1"), state,
+                "decoder.decoder_prenet.layer.fc1")
+    _map_linear(params, bstats, dec + ("decoder_prenet", "fc2"), state,
+                "decoder.decoder_prenet.layer.fc2")
+    _set(params, dec + ("pe", "alpha"),
+         _to_np(state["decoder.pe.alpha"]))
+    for i in range(hp.n_layer_decoder):
+        _map_decoder_layer(params, bstats, dec + (f"layers_{i}",), state,
+                           f"decoder.layers.{i}")
+    _map_ln(params, bstats, dec + ("norm",), state, "decoder.norm")
+
+    _map_linear(params, bstats, ("out",), state, "out")
+    _map_linear(params, bstats, ("stop_token",), state, "stop_token")
+
+    pn = ("postnet",)
+    # AR postnet is prev_version=False: conv stack only, no 'out' Dense
+    _map_conv1d(params, bstats, pn + ("conv1",), state, "postnet.conv1")
+    _map_conv1d(params, bstats, pn + ("conv2",), state, "postnet.conv2")
+    _map_bn(params, bstats, pn + ("pre_batchnorm",), state,
+            "postnet.pre_batchnorm")
+    for i in range(3):
+        _map_conv1d(params, bstats, pn + (f"conv_list_{i}",), state,
+                    f"postnet.conv_list.{i}")
+        _map_bn(params, bstats, pn + (f"batch_norm_list_{i}",), state,
+                f"postnet.batch_norm_list.{i}")
+    return params, bstats
+
+
+def convert_conformer_encoder_state_dict(state_dict: Dict, n_layers: int,
+                                         prefix: str = ""):
+    """Reference ConformerEncoder (Models/encoder.py:115-160) -> trees.
+
+    Maps per layer: macaron FFNs (linear1/linear2 + LN), the relative MHA
+    (q/k/v/out + linear_pos + pos_bias_u/v), and the convolution module
+    (pointwise convs, depthwise conv + its fused 1x1, BatchNorm).
+    """
+    state = _strip_module_prefix(state_dict)
+    p = (prefix + ".") if prefix else ""
+    params: Dict = {}
+    bstats: Dict = {}
+
+    if f"{p}embed.weight" in state and state[
+            f"{p}embed.weight"].dim() == 2 and \
+            f"{p}embed.bias" not in state:
+        _map_embed(params, bstats, ("embed",), state, f"{p}embed")
+    else:
+        _map_linear(params, bstats, ("embed",), state, f"{p}embed")
+
+    for i in range(n_layers):
+        t = f"{p}layers.{i}"
+        f = (f"layers_{i}",)
+        for ff in ("ff_1", "ff_2"):
+            _map_ln(params, bstats, f + (ff, "layer_norm"), state,
+                    f"{t}.{ff}.layer_norm")
+            _map_linear(params, bstats, f + (ff, "linear1"), state,
+                        f"{t}.{ff}.linear1")
+            _map_linear(params, bstats, f + (ff, "linear2"), state,
+                        f"{t}.{ff}.linear2")
+        _map_ln(params, bstats, f + ("norm",), state, f"{t}.norm")
+        a = f + ("attn",)
+        for part in ("q_linear", "k_linear", "v_linear", "out"):
+            _map_linear(params, bstats, a + (part,), state,
+                        f"{t}.attn.{part}")
+        _map_linear(params, bstats, a + ("linear_pos",), state,
+                    f"{t}.attn.linear_pos")
+        _set(params, a + ("pos_bias_u",),
+             _to_np(state[f"{t}.attn.pos_bias_u"]))
+        _set(params, a + ("pos_bias_v",),
+             _to_np(state[f"{t}.attn.pos_bias_v"]))
+        c = f + ("conv_module",)
+        _map_ln(params, bstats, c + ("layer_norm",), state,
+                f"{t}.conv_module.layer_norm")
+        _map_conv1d(params, bstats, c + ("pointwise_conv1",), state,
+                    f"{t}.conv_module.pointwise_conv1")
+        _map_conv1d(params, bstats, c + ("pointwise_conv2",), state,
+                    f"{t}.conv_module.pointwise_conv2")
+        # DepthwiseConv: grouped conv (out,1,k) -> flax depthwise
+        # (k, 1, out) with feature_group_count=out
+        w = _to_np(state[f"{t}.conv_module.depth_conv1.conv.weight"])
+        _set(params, c + ("depthwise_conv", "kernel"), w.transpose(2, 1, 0))
+        _set(params, c + ("depthwise_conv", "bias"),
+             _to_np(state[f"{t}.conv_module.depth_conv1.conv.bias"]))
+        _map_conv1d(params, bstats, c + ("depthwise_out",), state,
+                    f"{t}.conv_module.depth_conv1.conv_out")
+        _map_bn(params, bstats, c + ("batch_norm",), state,
+                f"{t}.conv_module.batch_norm")
+    _map_ln(params, bstats, ("norm",), state, f"{p}norm")
+    return params, bstats

@@ -102,7 +102,13 @@ def collate(
 
     if has_mel:
         mel_dim = samples[0]["mel"].shape[1]
-        mel = np.full((b, mel_len, mel_dim), mel_pad, np.float32)
+        discrete = np.issubdtype(samples[0]["mel"].dtype, np.integer)
+        if discrete:
+            # dual-stream token codes; pad with the CE ignore_index
+            # (train_fastspeech2.py:183 uses 320)
+            mel = np.full((b, mel_len, mel_dim), 320, np.int32)
+        else:
+            mel = np.full((b, mel_len, mel_dim), mel_pad, np.float32)
         pos_mel = np.zeros((b, mel_len), np.int32)
         stop = np.ones((b, mel_len), np.float32)   # pad value 1.0
         for i, s in enumerate(samples):
