@@ -61,3 +61,23 @@ def test_is_nar_model():
     assert is_nar_model("SQFastspeech2")
     assert is_nar_model("lightspeech")
     assert not is_nar_model("Transformer")
+
+
+def test_yaml_config_with_reference_sections(tmp_path):
+    f = tmp_path / "h.yaml"
+    f.write_text(
+        "general:\n"
+        "  architecture: text-mel\n"
+        "  vocab_size: 99\n"
+        "optimizer:\n"
+        "  warmup_step: 1234\n"
+        "  batch_size: 4\n"
+        "network_conf:\n"
+        "  dropouts:\n"
+        "    dropout: 0.2\n"
+        "spm_model: None\n")
+    hp = load_hparams(str(f))
+    assert hp.vocab_size == 99
+    assert hp.warmup_step == 1234
+    assert hp.dropout == 0.2
+    assert hp.spm_model is None

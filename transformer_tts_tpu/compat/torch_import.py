@@ -21,7 +21,6 @@ stacks, variance adaptor, postnet); extendable by adding rules.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Tuple
 
 import numpy as np

@@ -189,13 +189,36 @@ class HParams:
     # -- construction -------------------------------------------------------
     @classmethod
     def from_file(cls, path: str, **overrides: Any) -> "HParams":
-        """Load a user ``.py`` hparams file, then apply ``overrides``."""
-        module = _import_from_file(path)
-        values = {
-            k: v for k, v in vars(module).items()
-            if not k.startswith("__") and not callable(v)
-            and not isinstance(v, type(sys))
-        }
+        """Load a user ``.py`` (or ``.yaml``) hparams file + overrides.
+
+        YAML files may use the reference's sectioned layout
+        (utils/default.yaml general/scripts/optimizer/... groups — unused
+        and partly broken upstream, supported here): nested mappings are
+        flattened one level.
+        """
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            with open(path) as fh:
+                raw = yaml.safe_load(fh) or {}
+            values: Dict[str, Any] = {}
+            for k, v in raw.items():
+                if isinstance(v, dict):
+                    for k2, v2 in v.items():
+                        if isinstance(v2, dict):   # e.g. dropouts:
+                            values.update(v2)
+                        else:
+                            values[k2] = v2
+                else:
+                    values[k] = v
+            values = {k: (None if v == "None" else v)
+                      for k, v in values.items()}
+        else:
+            module = _import_from_file(path)
+            values = {
+                k: v for k, v in vars(module).items()
+                if not k.startswith("__") and not callable(v)
+                and not isinstance(v, type(sys))
+            }
         values.update(overrides)
         hp = cls(**values)
         hp._source_file = os.path.abspath(path)

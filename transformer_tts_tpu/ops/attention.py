@@ -79,8 +79,6 @@ class MultiHeadAttention(nn.Module):
     """
     heads: int
     d_model: int
-    q_dim: Optional[int] = None     # defaults to d_model
-    kv_dim: Optional[int] = None
     dropout: float = 0.1
     concat_after: bool = False
     use_flash: bool = False
