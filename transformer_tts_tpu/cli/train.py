@@ -175,20 +175,24 @@ def main(argv=None):
             arrays = shard_batch(arrays, mesh)
             state, logs = step_fn(state, arrays, step_rng)
             global_step += 1
-            # per-step loss prints are the reference's observability
-            # contract (train_fastspeech2.py:242-299)
-            parts = " ".join(
-                f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
-                if np.ndim(v) == 0)
-            print(f"epoch {epoch + 1} step {global_step} {parts} "
-                  f"({time.time() - t0:.3f}s)")
-            sys.stdout.flush()
-            loss = float(logs["loss_total"])
             timer.tick()
-            metrics.log(global_step, steps_per_sec=timer.steps_per_sec,
-                        **{k: v for k, v in logs.items()
-                           if np.ndim(v) == 0})
-            assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
+            # per-step loss prints are the reference's observability
+            # contract (train_fastspeech2.py:242-299); hp.log_every > 1
+            # skips the device sync on intermediate steps so dispatch
+            # runs ahead of the chip
+            if global_step % hp.log_every == 0:
+                parts = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
+                    if np.ndim(v) == 0)
+                print(f"epoch {epoch + 1} step {global_step} {parts} "
+                      f"({time.time() - t0:.3f}s)")
+                sys.stdout.flush()
+                metrics.log(global_step,
+                            steps_per_sec=timer.steps_per_sec,
+                            **{k: v for k, v in logs.items()
+                               if np.ndim(v) == 0})
+                loss = float(logs["loss_total"])
+                assert np.isfinite(loss) or arch == "mel-mel",                     "loss is nan"
             if stop_requested["flag"]:
                 break
             if args.max_steps and global_step >= args.max_steps:

@@ -152,6 +152,8 @@ _DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
     "remat": False,                   # jax.checkpoint the encoder/decoder
     "debug_nans": False,              # jax.config nan-checking (SURVEY §5)
+    "log_every": 1,                   # step-log cadence; >1 lets dispatch
+                                      # run ahead (each log syncs device)
     "profile_dir": None,              # jax.profiler trace output dir
     "num_workers": 8,                 # data-loader threads
 }
