@@ -144,11 +144,10 @@ _DEFAULTS: Dict[str, Any] = {
     # --- TPU-specific (new; no reference equivalent) -----------------------
     "length_buckets": (128, 256, 512, 768, 1024, 1536, 2048),
     "text_buckets": (32, 64, 96, 128, 192, 256),
-    # Pallas flash-attention kernel. Measured on v5e at parity-config
-    # sizes (T <= 2048) XLA's fused attention is faster, so the default
-    # is off; enable for memory-bound/long-sequence regimes (the kernel
-    # keeps O(T) score storage instead of O(T^2)).
-    "use_flash_attention": False,
+    # Pallas flash-attention kernel: dispatched only for sequences past
+    # FLASH_MIN_KEY_LEN (~1.5k), where it beats XLA's fused attention on
+    # v5e and keeps O(T) score storage instead of O(T^2).
+    "use_flash_attention": True,
     "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
     "remat": False,                   # jax.checkpoint the encoder/decoder
     "debug_nans": False,              # jax.config nan-checking (SURVEY §5)

@@ -39,41 +39,41 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _fwd_kernel(k_len_ref, q_ref, k_ref, v_ref, o_ref, *,
-                block_k: int, causal: bool, sm_scale: float):
-    """Grid: (B*H, num_q_blocks). Blocks: q (1, block_q, d) in VMEM,
-    k/v (1, T_k, d) in VMEM (full K rows for this batch-head)."""
+def _fwd_kernel(k_len_ref, q_ref, k_ref, v_ref, o_ref,
+                m_ref, l_ref, acc_ref, *,
+                causal: bool, sm_scale: float):
+    """Grid: (B*H, num_q_blocks, num_k_blocks) — k innermost.
+
+    K/V arrive as (1, block_k, d) blocks via BlockSpec, so Pallas
+    double-buffers the HBM->VMEM DMAs across grid steps (the previous
+    version indexed a whole-(T_k, d) VMEM ref with an inner fori_loop,
+    which defeats the automatic pipeline). Running max/sum/accumulator
+    live in VMEM scratch, persisting across the k dimension of the grid.
+    """
     bh = pl.program_id(0)
     qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
     block_q = q_ref.shape[1]
-    t_k = k_ref.shape[1]
-    d = q_ref.shape[2]
+    block_k = k_ref.shape[1]
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale          # (bq, d)
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     k_len = k_len_ref[bh]
-
-    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, d), jnp.float32)
-
     q_offset = qi * block_q
-    num_k_blocks = pl.cdiv(t_k, block_k)
-    if causal:
-        # only key blocks with start <= q_end participate
-        num_k_blocks_eff = pl.cdiv(
-            jnp.minimum(q_offset + block_q, t_k), block_k)
-    else:
-        num_k_blocks_eff = num_k_blocks
+    k_offset = ki * block_k
 
-    def body(ki, carry):
-        m, l, acc = carry
-        k_offset = ki * block_k
-        k_blk = k_ref[0, pl.ds(k_offset, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(k_offset, block_k), :].astype(jnp.float32)
-
+    def _update():
+        q = q_ref[0].astype(jnp.float32) * sm_scale       # (bq, d)
+        k_blk = k_ref[0].astype(jnp.float32)              # (bk, d)
+        v_blk = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bq, bk)
+            preferred_element_type=jnp.float32)           # (bq, bk)
 
         col = k_offset + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -84,20 +84,29 @@ def _fwd_kernel(k_len_ref, q_ref, k_ref, v_ref, o_ref, *,
             mask = mask & (col <= row)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         # explicit zeroing handles fully-masked rows (max == NEG_INF
         # would otherwise make exp(s - m) == 1 for masked entries)
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = alpha * acc + jax.lax.dot_general(
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:] = m_new
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks_eff, body, (m, l, acc))
-    safe_l = jnp.where(l > 0.0, l, 1.0)
-    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    if causal:
+        # key blocks entirely above the diagonal contribute nothing
+        pl.when(k_offset <= q_offset + block_q - 1)(_update)
+    else:
+        _update()
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        l = l_ref[:]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, k_len, *, causal: bool, sm_scale: float,
@@ -106,8 +115,7 @@ def _flash_fwd(q, k, v, k_len, *, causal: bool, sm_scale: float,
     t_k_orig = k.shape[2]
     block_q_eff = min(block_q, max(t_q_orig, 8))
     block_k_eff = min(block_k, max(t_k_orig, 8))
-    # pad sequence dims to block multiples (pl.ds clamps OOB starts, so
-    # ragged tails must not exist); padded keys are masked via k_len.
+    # pad sequence dims to block multiples; padded keys masked via k_len
     t_q = -(-t_q_orig // block_q_eff) * block_q_eff
     t_k = -(-t_k_orig // block_k_eff) * block_k_eff
     if t_q != t_q_orig:
@@ -124,22 +132,27 @@ def _flash_fwd(q, k, v, k_len, *, causal: bool, sm_scale: float,
     v_r = v.reshape(bh, t_k, d)
     k_len_bh = jnp.repeat(k_len.astype(jnp.int32), h)    # (B*H,)
 
-    block_q_eff = block_q
-    grid = (bh, pl.cdiv(t_q, block_q_eff))
+    grid = (bh, pl.cdiv(t_q, block_q), pl.cdiv(t_k, block_k))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k,
-                          causal=causal, sm_scale=sm_scale),
+        functools.partial(_fwd_kernel, causal=causal, sm_scale=sm_scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q_eff, d),
-                             lambda bh, qi, *_: (bh, qi, 0)),
-                pl.BlockSpec((1, t_k, d), lambda bh, qi, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, t_k, d), lambda bh, qi, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, d),
+                             lambda bh, qi, ki, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bh, qi, ki, *_: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bh, qi, ki, *_: (bh, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q_eff, d),
-                                   lambda bh, qi, *_: (bh, qi, 0)),
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda bh, qi, ki, *_: (bh, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+                pltpu.VMEM((block_q, d), jnp.float32),   # accumulator
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((bh, t_q, d), q.dtype),
         interpret=interpret,
