@@ -215,3 +215,72 @@ def test_gradient_accumulation_matches_large_batch():
     state2, _ = step2(state2, half2, rng)
     p2 = np.asarray(jax.tree.leaves(state2.params)[0])
     assert not np.allclose(p1, p2)
+
+
+def test_fix_mask_band_attention():
+    """fix_mask band-diagonal windows (fastspeech2.py:124-135,184-193)."""
+    hp = tiny_hp(fix_mask=5)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    state, logs = step_fn(state, make_batch(0), jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_variance_adaptor_pos_and_rnn_options():
+    """use_pos / use_rnn_length branches (varianceadaptor.py:47-53,86-92)."""
+    hp = tiny_hp(use_pos=True, use_rnn_length=True)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    batch = make_batch(0)
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"])
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "vq_stats": {}},
+        batch["text"], src_mask, 48, batch["alignment"], batch["f0"],
+        batch["energy"], mel_mask=mel_mask, train=False)
+    assert out.mel_post.shape == (2, 48, 16)
+
+
+def test_remat_train_step_matches_plain():
+    """hp.remat must not change the math, only the memory schedule."""
+    hp_a = tiny_hp()
+    hp_b = tiny_hp(remat=True)
+    model, state_a = init_fastspeech2_state(hp_a, jax.random.PRNGKey(0))
+    _, state_b = init_fastspeech2_state(hp_b, jax.random.PRNGKey(0))
+    step_a = make_fastspeech2_train_step(model, hp_a, donate=False)
+    step_b = make_fastspeech2_train_step(model, hp_b, donate=False)
+    batch = make_batch(0)
+    rng = jax.random.PRNGKey(2)
+    _, logs_a = step_a(state_a, batch, rng)
+    _, logs_b = step_b(state_b, batch, rng)
+    np.testing.assert_allclose(float(logs_a["loss_total"]),
+                               float(logs_b["loss_total"]), rtol=1e-6)
+    np.testing.assert_allclose(float(logs_a["grad_norm"]),
+                               float(logs_b["grad_norm"]), rtol=1e-4)
+
+
+def test_gst_training_path_uses_target_mel():
+    """AR training with gst=True styles from the target mel
+    (transformer.py:96-101)."""
+    from transformer_tts_tpu.train.trainer import (
+        init_transformer_state, make_transformer_train_step)
+    hp = HParams(model="Transformer", gst=True, d_model_encoder=32,
+                 d_model_decoder=32, n_layer_encoder=1, n_layer_decoder=1,
+                 n_head_encoder=2, n_head_decoder=2, vocab_size=30,
+                 mel_dim=8, reduction_rate=2, amp=False, warmup_step=10,
+                 batch_size=2)
+    model, state = init_transformer_state(hp, jax.random.PRNGKey(0),
+                                          max_frames=32)
+    step_fn = make_transformer_train_step(model, hp, donate=False)
+    rs = np.random.RandomState(0)
+    b, l, t = 2, 10, 32
+    mel = rs.randn(b, t, 8).astype(np.float32)
+    mel[:, 0] = 0.0
+    batch = {
+        "text": jnp.asarray(rs.randint(1, 30, (b, l)).astype(np.int32)),
+        "pos_text": jnp.tile(jnp.arange(1, l + 1)[None], (b, 1)),
+        "mel": jnp.asarray(mel),
+        "pos_mel": jnp.tile(jnp.arange(1, t + 1)[None], (b, 1)),
+        "stop_token": jnp.zeros((b, t)),
+    }
+    state, logs = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss_total"]))
