@@ -81,3 +81,30 @@ def test_compute_corpus_stats_ignores_padding():
     valid = np.concatenate([mels[0, :6], mels[1, :8]], axis=0)
     np.testing.assert_allclose(np.asarray(mean), valid.mean(0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(var), valid.var(0), rtol=1e-4)
+
+
+def test_audio_to_gst_style_chain():
+    """Raw audio -> on-device log-mel -> GST style embedding, one jit.
+
+    Demonstrates the north-star serving path: style conditioning from a
+    reference WAV without offline feature extraction.
+    """
+    import jax
+    from transformer_tts_tpu.models.gst import StyleEmbedding
+
+    sr, n_mels = 22050, 16
+    model = StyleEmbedding(mel_dim=n_mels, d_model=32)
+    rs = np.random.RandomState(0)
+    audio = jnp.asarray(rs.randn(2, sr // 2).astype(np.float32) * 0.1)
+
+    def style_from_audio(variables, audio):
+        mel = log_mel_spectrogram(audio, sample_rate=sr, n_fft=512,
+                                  hop_length=256, n_mels=n_mels)
+        return model.apply(variables, mel, train=False)
+
+    mel0 = log_mel_spectrogram(audio, sample_rate=sr, n_fft=512,
+                               hop_length=256, n_mels=n_mels)
+    variables = model.init(jax.random.PRNGKey(0), mel0, train=False)
+    style = jax.jit(style_from_audio)(variables, audio)
+    assert style.shape == (2, 1, 32)
+    assert np.isfinite(np.asarray(style)).all()
