@@ -184,3 +184,30 @@ def test_batched_synthesis(corpus, tmp_path):
         b = np.load(os.path.join(out_1, f"{i}.npy"))
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_wav_writer_unit(tmp_path):
+    """_write_wav: synthetic log-mel -> playable 16-bit WAV."""
+    import wave
+    from transformer_tts_tpu.cli.synthesize import _write_wav
+    from transformer_tts_tpu.config import HParams
+    hp = HParams(mel_dim=MEL_DIM, batch_size=1)
+    mel = np.random.RandomState(0).randn(40, MEL_DIM).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    _write_wav(path, mel, hp, 22050, 256)
+    with wave.open(path) as fh:
+        assert fh.getframerate() == 22050
+        assert fh.getnframes() == 39 * 256
+
+
+def test_wav_flag_cli_smoke(corpus, tmp_path):
+    """--wav runs end-to-end (untrained models may emit 0 frames, in
+    which case no wav is written — both outcomes are valid here)."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1)
+    cli_train.main(["--hp_file", hp_path])
+    out_dir = str(tmp_path / "gen_wav")
+    cli_synth.main(["--load_name", save_dir, "--save", out_dir,
+                    "--max_frames", "64", "--wav"])
+    assert os.path.exists(os.path.join(out_dir, "0.npy"))

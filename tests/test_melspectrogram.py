@@ -108,3 +108,23 @@ def test_audio_to_gst_style_chain():
     style = jax.jit(style_from_audio)(variables, audio)
     assert style.shape == (2, 1, 32)
     assert np.isfinite(np.asarray(style)).all()
+
+
+def test_griffin_lim_reconstructs_tone():
+    """log-mel of a pure tone -> Griffin-Lim -> dominant frequency kept."""
+    from transformer_tts_tpu.ops.melspectrogram import (
+        griffin_lim_from_log_mel)
+    sr, n_fft, hop, n_mels = 22050, 1024, 256, 80
+    t = np.arange(sr // 2) / sr
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(tone), sample_rate=sr,
+                              n_fft=n_fft, hop_length=hop, n_mels=n_mels)
+    audio = np.asarray(griffin_lim_from_log_mel(
+        mel, sample_rate=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+        n_iter=16, n_samples=len(tone)))
+    assert audio.shape == tone.shape
+    assert np.isfinite(audio).all()
+    spec = np.abs(np.fft.rfft(audio))
+    freqs = np.fft.rfftfreq(len(audio), 1 / sr)
+    peak_freq = freqs[spec.argmax()]
+    assert abs(peak_freq - 440.0) < 40.0, peak_freq

@@ -55,6 +55,12 @@ def main(argv=None):
                         help="utterances per forward (the reference is "
                              "batch-1 only; batching amortizes dispatch "
                              "for production serving)")
+    parser.add_argument("--wav", action="store_true",
+                        help="also write Griffin-Lim waveforms "
+                             "(assumes natural-log mel power features; "
+                             "the reference needs an external vocoder)")
+    parser.add_argument("--sample_rate", type=int, default=22050)
+    parser.add_argument("--hop_length", type=int, default=256)
     args = parser.parse_args(argv)
 
     import random
@@ -168,11 +174,32 @@ def main(argv=None):
             if durations is not None:
                 np.save(os.path.join(args.save, f"{idx}_alignment.npy"),
                         np.asarray(durations[j]))
+            if args.wav and n > 0:
+                _write_wav(os.path.join(args.save, f"{idx}.wav"),
+                           mel_np[j, :n], hp, args.sample_rate,
+                           args.hop_length)
             print(f"save {out_name} ({n} frames)")
         sys.stdout.flush()
 
     print(f"elapsed time = {elapsed}")
     print(f"total time = {time.time() - start_time}")
+
+
+def _write_wav(path, mel, hp, sample_rate, hop_length):
+    """Griffin-Lim the de-normalized log-mel and write a 16-bit WAV."""
+    import wave
+    import jax.numpy as jnp
+    from transformer_tts_tpu.ops.melspectrogram import (
+        griffin_lim_from_log_mel)
+    audio = np.asarray(griffin_lim_from_log_mel(
+        jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
+        n_fft=1024, hop_length=hop_length, n_mels=hp.mel_dim))
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(sample_rate)
+        fh.writeframes(pcm.tobytes())
 
 
 def _apply_post_model(hp, model, variables, post_model, post_variables,

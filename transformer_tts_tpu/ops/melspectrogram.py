@@ -111,3 +111,89 @@ def compute_corpus_stats(mels: jnp.ndarray, lengths: jnp.ndarray):
     mean = (mels * valid).sum(axis=(0, 1)) / n
     var = (((mels - mean) ** 2) * valid).sum(axis=(0, 1)) / n
     return mean, var
+
+
+def _stft(frames_audio, n_fft, hop_length, window):
+    """(B, N) -> (B, T, n_bins) complex, center-padded framing."""
+    pad = n_fft // 2
+    x = jnp.pad(frames_audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (x.shape[1] - n_fft) // hop_length
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx] * window[None, None, :]
+    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+def _istft(spec, n_fft, hop_length, window, n_samples):
+    """(B, T, n_bins) complex -> (B, n_samples) via windowed overlap-add."""
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, None, :]
+    b, t, _ = frames.shape
+    pad = n_fft // 2
+    total = (t - 1) * hop_length + n_fft
+    idx = (jnp.arange(t)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
+    audio = jnp.zeros((b, total), frames.dtype)
+    audio = audio.at[:, idx].add(frames.reshape(b, -1))
+    wsum = jnp.zeros((total,), jnp.float32)
+    wsum = wsum.at[idx].add(jnp.tile(window ** 2, (t,)))
+    audio = audio / jnp.maximum(wsum, 1e-8)[None, :]
+    return audio[:, pad: pad + n_samples]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "n_fft", "hop_length", "n_mels", "fmin", "fmax",
+    "n_iter", "n_samples", "power"))
+def griffin_lim_from_log_mel(
+    log_mel: jnp.ndarray,
+    *,
+    sample_rate: int = 22050,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    n_iter: int = 32,
+    n_samples: Optional[int] = None,
+    power: float = 2.0,
+) -> jnp.ndarray:
+    """(B, T, n_mels) natural-log mel -> (B, n_samples) waveform.
+
+    On-device Griffin-Lim phase recovery: the mel power spectrum is
+    mapped back to linear frequency with the (normalized-transpose)
+    pseudo-inverse of the mel filterbank, then n_iter rounds of
+    STFT <-> ISTFT projection refine a zero phase estimate. The reference
+    stops at .npy mels and relies on an external vocoder; this closes the
+    loop for listening tests without one (a neural vocoder still sounds
+    better — this is the built-in fallback).
+    """
+    squeeze = log_mel.ndim == 2
+    if squeeze:
+        log_mel = log_mel[None]
+    b, t, _ = log_mel.shape
+    if n_samples is None:
+        # forward framing yields T = N//hop + 1, so T frames roundtrip
+        # to (T-1)*hop samples
+        n_samples = (t - 1) * hop_length
+
+    fb = mel_filterbank(n_mels, n_fft, sample_rate, fmin, fmax)
+    # row-normalized transpose as pseudo-inverse (standard mel inversion)
+    fb_t = fb.T / np.maximum(fb.sum(axis=1)[None, :], 1e-8)
+    mel_power = jnp.exp(log_mel.astype(jnp.float32))
+    lin_power = jnp.einsum("btm,fm->btf", mel_power, jnp.asarray(fb_t))
+    mag = jnp.maximum(lin_power, 1e-10) ** (1.0 / power)
+
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+
+    def body(_, spec_phase):
+        audio = _istft(mag * jnp.exp(1j * spec_phase), n_fft, hop_length,
+                       window, n_samples)
+        spec = _stft(audio, n_fft, hop_length, window)
+        return jnp.angle(spec)
+
+    phase0 = jnp.zeros_like(mag)
+    phase = jax.lax.fori_loop(0, n_iter, body, phase0)
+    audio = _istft(mag * jnp.exp(1j * phase), n_fft, hop_length, window,
+                   n_samples)
+    peak = jnp.max(jnp.abs(audio), axis=1, keepdims=True)
+    audio = audio / jnp.maximum(peak, 1e-8) * 0.95
+    return audio[0] if squeeze else audio
