@@ -183,3 +183,13 @@ def test_native_pad_batch_matches_numpy():
     ref[0, :7] = mels[0]
     ref[1, :3] = mels[1]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_lengths_batch_sampler_sum_budget():
+    """Sum-of-lengths packing (datasets_transformer.py:431-490 variant)."""
+    lengths = np.array([10, 12, 8, 30, 5, 5, 5, 40])
+    s = LengthsBatchSampler(lengths, 30, shuffle=False, budget="sum")
+    for b in s.all_indices:
+        assert sum(lengths[b]) <= 30 or len(b) == 1
+    flat = [i for b in s.all_indices for i in b]
+    assert flat == sorted(flat)

@@ -206,3 +206,27 @@ def test_epoch_decay_factor():
     np.testing.assert_allclose(epoch_decay_factor(12, 10), 0.8 ** 2)
     np.testing.assert_allclose(
         epoch_decay_factor(25, 3, reset_optimizer_epoch=10), 0.8 ** 2)
+
+
+def test_apply_reference_init():
+    from transformer_tts_tpu.train.schedule import apply_reference_init
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3,), name="conv")(x)
+            return nn.Dense(4, name="dense")(x)
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 2)))["params"]
+    new = apply_reference_init(params, jax.random.PRNGKey(1))
+    # conv kernel re-initialized (kaiming), dense kernel untouched
+    assert not np.allclose(np.asarray(params["conv"]["kernel"]),
+                           np.asarray(new["conv"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(params["dense"]["kernel"]),
+                                  np.asarray(new["dense"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(new["conv"]["bias"]), 0.0)
+    # kaiming std ~ sqrt(2/fan_in), fan_in = 3*2 = 6
+    std = np.asarray(new["conv"]["kernel"]).std()
+    assert 0.2 < std < 1.2

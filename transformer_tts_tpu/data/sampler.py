@@ -24,11 +24,19 @@ import numpy as np
 class LengthsBatchSampler:
     def __init__(self, lengths: np.ndarray, n_lengths: int, *,
                  shuffle: bool = True, shuffle_one_time: bool = False,
-                 reverse: bool = False, seed: int = 77):
+                 reverse: bool = False, seed: int = 77,
+                 budget: str = "max"):
+        """``budget='max'``: max_len_in_batch * count <= n_lengths
+        (datasets_fastspeech2.py:784-801). ``budget='sum'``: the
+        transformer-datasets variant packing while the SUM of lengths
+        stays under budget (datasets_transformer.py:431-490)."""
         if shuffle and reverse:
             raise ValueError("shuffle and reverse cannot both be True")
+        if budget not in ("max", "sum"):
+            raise ValueError(f"unknown budget mode: {budget}")
         self.lengths_np = np.asarray(lengths)
         self.n_lengths = n_lengths
+        self.budget = budget
         self.shuffle = shuffle
         self.shuffle_one_time = shuffle_one_time
         self.reverse = reverse
@@ -38,18 +46,25 @@ class LengthsBatchSampler:
             self._rng.shuffle(self.all_indices)
 
     def _batch_indices(self) -> List[List[int]]:
-        # greedy consecutive packing (datasets_fastspeech2.py:784-801)
+        # greedy consecutive packing
         all_indices = []
         count = 0
         n = len(self.lengths_np)
         while count + 1 < n:
             indices: List[int] = []
             max_len = 0
+            sum_len = 0
             while count < n:
                 curr = int(self.lengths_np[count])
-                if max(max_len, curr) * (len(indices) + 1) > self.n_lengths:
+                if self.budget == "max":
+                    over = (max(max_len, curr) * (len(indices) + 1)
+                            > self.n_lengths)
+                else:
+                    over = sum_len + curr > self.n_lengths and indices
+                if over:
                     break
                 max_len = max(max_len, curr)
+                sum_len += curr
                 indices.append(count)
                 count += 1
             if not indices:   # single utterance over budget: emit alone

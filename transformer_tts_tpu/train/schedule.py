@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import optax
 
 
@@ -74,3 +75,35 @@ def build_optimizer(
     if accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
     return tx
+
+
+def apply_reference_init(params, rng):
+    """Re-initialize params with the reference's ``init_weight`` scheme.
+
+    utils/utils.py:153-177: Kaiming-normal for Conv1d/Conv2d/LSTM kernels,
+    zero biases for those layers. (The Linear branch matches lowercase
+    'linear' against class names and therefore NEVER fires in the
+    reference — torch defaults apply to Linears; we likewise leave Dense
+    kernels at their flax defaults.) Conv kernels are identified by rank
+    (>= 3: (k..., in, out)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for i, (path, leaf) in enumerate(flat):
+        key = jax.random.fold_in(rng, i)
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        is_kernel = names and names[-1] == "kernel"
+        if is_kernel and leaf.ndim >= 3:
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            std = float(np.sqrt(2.0 / fan_in))
+            leaves.append(std * jax.random.normal(key, leaf.shape,
+                                                  leaf.dtype))
+        elif names and names[-1] == "bias" and leaf.ndim == 1:
+            leaves.append(jnp.zeros_like(leaf))
+        else:
+            leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
