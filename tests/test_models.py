@@ -74,6 +74,7 @@ def test_fastspeech2_eval_deterministic():
                                   np.asarray(b.mel_post))
 
 
+@pytest.mark.slow
 def test_fastspeech2_train_step_decreases_loss():
     """Overfit one tiny batch: total loss must drop substantially."""
     hp = tiny_hp(warmup_factor=30.0)  # aggressive lr for the smoke test
@@ -167,6 +168,7 @@ def test_sq_vae_fastspeech2():
     assert float(out.sq_vae_perplexity) > 0
 
 
+@pytest.mark.slow
 def test_sq_fastspeech2_model_and_trainer():
     """SQFastSpeech2 (unsupervised duration) one train step + eval."""
     from transformer_tts_tpu.train.trainer import (
@@ -189,6 +191,7 @@ def test_sq_fastspeech2_model_and_trainer():
     assert out.mel_pre.shape == (2, 48, 16)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_large_batch():
     """accum_grad=2 on half-batches ~ one step on the full batch
     (reference hp.accum_grad, train.py:248-263; here optax.MultiSteps)."""
@@ -240,6 +243,7 @@ def test_variance_adaptor_pos_and_rnn_options():
     assert out.mel_post.shape == (2, 48, 16)
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     """hp.remat must not change the math, only the memory schedule."""
     hp_a = tiny_hp()
@@ -258,6 +262,7 @@ def test_remat_train_step_matches_plain():
                                float(logs_b["grad_norm"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_gst_training_path_uses_target_mel():
     """AR training with gst=True styles from the target mel
     (transformer.py:96-101)."""

@@ -40,8 +40,11 @@ from transformer_tts_tpu.ops.masks import create_masks
 from transformer_tts_tpu.train.trainer import (
     build_fastspeech2, init_fastspeech2_state)
 
-pytestmark = pytest.mark.skipif(not HAVE_REF,
-                                reason="reference repo not importable")
+pytestmark = [
+    pytest.mark.skipif(not HAVE_REF,
+                       reason="reference repo not importable"),
+    pytest.mark.slow,
+]
 
 
 class _RefHP:

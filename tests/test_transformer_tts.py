@@ -1,6 +1,7 @@
 """AR Transformer-TTS: train step smoke + KV-cache decode parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def make_ar_batch(seed, b=2, l=10, t=32, mel_dim=8, vocab=30):
     }
 
 
+@pytest.mark.slow
 def test_transformer_train_step_runs_and_learns():
     hp = ar_hp(warmup_factor=2.0)
     model, state = init_transformer_state(hp, jax.random.PRNGKey(0))
