@@ -67,7 +67,7 @@ def main():
     rtf = synth_time / audio_seconds
 
     # ---------------- training throughput ----------------
-    b, lt, tt = 16, 64, 640       # 10240 mel frames per step
+    b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
     batch = {
         "text": jnp.asarray(
             rs.randint(1, hp.vocab_size, (b, lt)).astype(np.int32)),
