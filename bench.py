@@ -7,9 +7,25 @@ measured as jitted-forward wall time / synthesized audio seconds
 Durations are teacher-forced to a realistic 6 frames/phone so the mel
 length (and thus the audio denominator) is defined for an untrained net.
 
-Also reported (extra keys in the same JSON object): training-step
-throughput in mel frames/sec/chip on a frame-budget batch, matching
-BASELINE.md's metrics of record.
+Also reported: training-step throughput in mel frames/sec/chip and the
+AR Transformer-TTS KV-cached decode RTF.
+
+TIMING METHODOLOGY (round-2 rewrite — the round-1 numbers were invalid):
+on this environment's 'axon' JAX platform, ``block_until_ready`` returns
+BEFORE device execution completes, so naive wall-clock timing measures
+dispatch, not compute. Every quantity here is therefore
+
+* closed by a device->host transfer (``float(scalar)``), which does
+  block, and
+* measured as the SLOPE between 1 and N data-dependency-chained
+  iterations: per_iter = (T(N) - T(1)) / (N - 1). The chain (each
+  iteration's input depends on the previous iteration's output) forces
+  sequential device execution; the slope subtracts the platform's fixed
+  ~30-40 ms host-sync overhead. Each T(k) is the median of >=10 runs.
+
+A physical-plausibility guard computes implied FLOP/s from XLA's own
+``cost_analysis()`` and ERRORS OUT if it exceeds the chip's peak — the
+check that would have caught the round-1 60-150x inflation.
 
 vs_baseline: target RTF is 0.01 (BASELINE.md north-star); the ratio
 reported is target/measured, so > 1.0 beats the target.
@@ -18,13 +34,37 @@ reported is target/measured, so > 1.0 beats the target.
 from __future__ import annotations
 
 import json
-import time
+import sys
 
 import numpy as np
 
+from transformer_tts_tpu.bench_utils import (
+    PEAK_TFLOPS, check_plausible, slope_time, xla_flops)
 
 FRAME_SECONDS = 256 / 22050.0     # LJSpeech hop/sr
 TARGET_RTF = 0.01                 # BASELINE.md
+
+
+def _slope_time(run_chain, n_long, repeats=11):
+    r = slope_time(run_chain, n_long, repeats)
+    return r.per_iter, r.t1, r.tn, r.per_iter_min
+
+
+def _flops_of(jitted, args):
+    return xla_flops(jitted, *args)
+
+
+def _plausibility_guard(name, flops, seconds):
+    if flops <= 0 or seconds <= 0:
+        return None
+    try:
+        return check_plausible(name, flops, seconds)
+    except RuntimeError as e:
+        print(json.dumps({
+            "metric": "BENCH_INVALID", "value": -1.0, "unit": "error",
+            "vs_baseline": 0.0, "error": str(e),
+        }))
+        sys.exit(1)
 
 
 def main():
@@ -48,23 +88,29 @@ def main():
     d_target = jnp.full((1, l), t // l, jnp.int32)
 
     @jax.jit
-    def synth(params, batch_stats, text, src_mask, d_target):
+    def synth(params, batch_stats, text, src_mask, d_target, carry):
+        # carry couples successive calls into a sequential chain
+        text = text + (carry * 0).astype(jnp.int32)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats, "vq_stats": {}},
             text, src_mask, t, d_target, train=False)
-        return out.mel_post
+        return jnp.sum(out.mel_post)   # scalar: host-transfer closes timing
 
-    mel = synth(state.params, state.batch_stats, text, src_mask, d_target)
-    mel.block_until_ready()       # compile
-    n_iter = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        mel = synth(state.params, state.batch_stats, text, src_mask,
-                    d_target)
-    mel.block_until_ready()
-    synth_time = (time.perf_counter() - t0) / n_iter
+    def synth_chain(k):
+        carry = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            carry = synth(state.params, state.batch_stats, text, src_mask,
+                          d_target, carry)
+        return float(carry)            # blocking device->host transfer
+
+    synth_chain(2)                     # compile + warm
+    synth_s, synth_t1, _, synth_s_min = _slope_time(synth_chain, 16)
     audio_seconds = t * FRAME_SECONDS
-    rtf = synth_time / audio_seconds
+    rtf = synth_s / audio_seconds
+    synth_flops = _flops_of(
+        synth, (state.params, state.batch_stats, text, src_mask, d_target,
+                jnp.zeros((), jnp.float32)))
+    _plausibility_guard("synthesis", synth_flops, synth_s)
 
     # ---------------- training throughput ----------------
     b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
@@ -80,20 +126,25 @@ def main():
     }
     step_fn = make_fastspeech2_train_step(model, hp, donate=False)
     step_rng = jax.random.PRNGKey(1)
-    state2, logs = step_fn(state, batch, step_rng)     # compile
-    jax.block_until_ready(logs["loss_total"])
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state2, logs = step_fn(state2, batch, step_rng)
-    jax.block_until_ready(logs["loss_total"])
-    step_time = (time.perf_counter() - t0) / n_steps
-    frames_per_sec = (b * tt) / step_time
+
+    def train_chain(k):
+        # state threads through: iteration i+1 depends on iteration i
+        s = state
+        logs = None
+        for _ in range(k):
+            s, logs = step_fn(s, batch, step_rng)
+        return float(logs["loss_total"])
+
+    train_chain(2)                     # compile + warm
+    step_s, train_t1, _, step_s_min = _slope_time(train_chain, 8)
+    frames_per_sec = (b * tt) / step_s
+    train_flops = _flops_of(step_fn, (state, batch, step_rng))
+    train_tflops = _plausibility_guard("train_step", train_flops, step_s)
 
     # ---------------- AR Transformer-TTS synthesis RTF ----------------
     # KV-cached incremental decode; the reference's loop re-forwards the
     # whole prefix each step (test.py:158-184). Untrained stop heads never
-    # fire, so this measures the worst case: all max_steps decoded.
+    # fire; stop_threshold > 1 forces the worst case: all steps decoded.
     from transformer_tts_tpu.infer.synthesize import (
         synthesize_transformer_tts)
     from transformer_tts_tpu.train.trainer import init_transformer_state
@@ -106,33 +157,41 @@ def main():
     ar_text = jnp.asarray(
         rs.randint(1, hp_ar.vocab_size, (1, l)).astype(np.int32))
     ar_pos = jnp.tile(jnp.arange(1, l + 1)[None], (1, 1))
-    # stop_threshold > 1 forces a full-length decode (untrained stop
-    # heads would otherwise fire immediately)
-    mel_ar, _ = synthesize_transformer_tts(
-        ar_model, ar_vars, ar_text, ar_pos, max_steps=ar_steps,
-        stop_threshold=2.0)
-    mel_ar.block_until_ready()           # compile
-    n_ar = 3
-    t0 = time.perf_counter()
-    for _ in range(n_ar):
-        mel_ar, _ = synthesize_transformer_tts(
-            ar_model, ar_vars, ar_text, ar_pos, max_steps=ar_steps,
-            stop_threshold=2.0)
-    mel_ar.block_until_ready()
-    ar_time = (time.perf_counter() - t0) / n_ar
+
+    def ar_chain(k):
+        txt = ar_text
+        mel_sum = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            txt = ar_text + (mel_sum * 0).astype(jnp.int32)
+            mel_ar, _ = synthesize_transformer_tts(
+                ar_model, ar_vars, txt, ar_pos, max_steps=ar_steps,
+                stop_threshold=2.0)
+            mel_sum = jnp.sum(mel_ar)
+        return float(mel_sum)
+
+    ar_chain(1)                        # compile + warm
+    ar_s, ar_t1, _, ar_s_min = _slope_time(ar_chain, 6, repeats=7)
     ar_frames = ar_steps * hp_ar.reduction_rate
-    ar_rtf = ar_time / (ar_frames * FRAME_SECONDS)
+    ar_rtf = ar_s / (ar_frames * FRAME_SECONDS)
+
+    sync_overhead_ms = max(synth_t1 - synth_s, 0.0) * 1000
 
     print(json.dumps({
         "metric": "fastspeech2_synthesis_rtf",
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
-        "synth_ms_per_utt": round(synth_time * 1000, 3),
+        "synth_ms_per_utt": round(synth_s * 1000, 3),
+        "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
-        "train_step_ms": round(step_time * 1000, 2),
+        "train_step_ms": round(step_s * 1000, 2),
+        "train_step_ms_min": round(step_s_min * 1000, 2),
+        "train_implied_tflops": (round(train_tflops, 1)
+                                 if train_tflops else None),
         "ar_synthesis_rtf": round(ar_rtf, 5),
-        "ar_ms_per_step": round(ar_time / ar_steps * 1000, 3),
+        "ar_ms_per_step": round(ar_s / ar_steps * 1000, 3),
+        "sync_overhead_ms": round(sync_overhead_ms, 1),
+        "timing": "host-synced slope, median of >=7 runs",
         "device": str(jax.devices()[0]),
     }))
 

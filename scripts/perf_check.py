@@ -1,20 +1,28 @@
-"""Ad-hoc perf validation on the real chip.
+"""Ad-hoc perf validation on the real chip (honest clock).
 
-1. AR decode loop: time must scale ~linearly with max_steps and every
-   decoded frame must be nonzero (loop really iterates).
+1. AR decode loop: slope-timed cost must scale ~linearly with max_steps
+   and every decoded frame must be nonzero (loop really iterates).
 2. Flash-attention A/B at eval on the parity config, several mel lengths.
+
+All timings use bench_utils.slope_time (data-dependency-chained
+iterations closed by a host transfer) — block_until_ready does NOT block
+on this platform; see transformer_tts_tpu/bench_utils.py.
 
 Run: python scripts/perf_check.py
 """
 
-import time
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from transformer_tts_tpu.bench_utils import slope_time
     from transformer_tts_tpu.config import HParams
     from transformer_tts_tpu.ops.masks import create_masks
     from transformer_tts_tpu.train.trainer import (
@@ -32,17 +40,23 @@ def main():
     text = jnp.asarray(rs.randint(1, 152, (1, 128)).astype(np.int32))
     pos = jnp.tile(jnp.arange(1, 129)[None], (1, 1))
     for steps in (125, 250):
+        def ar_chain(k, steps=steps):
+            carry = jnp.zeros((), jnp.float32)
+            mel = None
+            for _ in range(k):
+                txt = text + (carry * 0).astype(jnp.int32)
+                mel, lengths = synthesize_transformer_tts(
+                    model, v, txt, pos, max_steps=steps,
+                    stop_threshold=2.0)
+                carry = jnp.sum(mel)
+            return float(carry)
+        ar_chain(1)  # compile
+        tm = slope_time(ar_chain, 6, repeats=7)
         mel, lengths = synthesize_transformer_tts(
             model, v, text, pos, max_steps=steps, stop_threshold=2.0)
-        mel.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(5):
-            mel, lengths = synthesize_transformer_tts(
-                model, v, text, pos, max_steps=steps, stop_threshold=2.0)
-        mel.block_until_ready()
-        dt = (time.perf_counter() - t0) / 5
         nz = int(jnp.sum(jnp.any(mel != 0, axis=-1)))
-        print(f"AR steps={steps} time={dt * 1e3:.3f}ms "
+        print(f"AR steps={steps} time={tm.per_iter * 1e3:.3f}ms "
+              f"({tm.per_iter / steps * 1e3:.4f} ms/step) "
               f"len={int(lengths[0])} nonzero_frames={nz}", flush=True)
 
     # ---- 2. flash A/B at eval ----
@@ -58,20 +72,23 @@ def main():
             src_mask, _ = create_masks(ptx, None)
             d_target = jnp.full((8, l), t // l, jnp.int32)
 
-            def fwd(params, bstats):
+            @jax.jit
+            def fwd(params, bstats, txt_in, carry):
+                txt_in = txt_in + (carry * 0).astype(jnp.int32)
                 out = m.apply(
                     {"params": params, "batch_stats": bstats,
                      "vq_stats": {}},
-                    txt, src_mask, t, d_target, train=False)
-                return out.mel_post
-            jfwd = jax.jit(fwd)
-            r = jfwd(st.params, st.batch_stats)
-            r.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(20):
-                r = jfwd(st.params, st.batch_stats)
-            r.block_until_ready()
-            times[flash] = (time.perf_counter() - t0) / 20 * 1e3
+                    txt_in, src_mask, t, d_target, train=False)
+                return jnp.sum(out.mel_post)
+
+            def chain(k):
+                carry = jnp.zeros((), jnp.float32)
+                for _ in range(k):
+                    carry = fwd(st.params, st.batch_stats, txt, carry)
+                return float(carry)
+
+            chain(1)  # compile
+            times[flash] = slope_time(chain, 12, repeats=7).per_iter * 1e3
         print(f"eval T={t}: flash {times[True]:.3f}ms "
               f"xla {times[False]:.3f}ms", flush=True)
 

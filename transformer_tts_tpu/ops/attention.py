@@ -35,10 +35,15 @@ import flax.linen as nn
 NEG_FILL = -1e4        # Models/modules.py:14
 NEG_FILL_REL = -(2.0 ** 15)  # Models/modules.py:275
 
-# Minimum key length for the Pallas flash kernel: measured on v5e, the
-# pipelined kernel overtakes XLA's fused attention around T ~ 1.5-2k
-# (bf16, d=96: T=2048 flash 1.96ms vs XLA 2.55ms; T=1024 1.60 vs 1.24).
-FLASH_MIN_KEY_LEN = 1536
+# Minimum key length for the Pallas flash kernel. Honest A/B (round 2,
+# host-synced slope timing — scripts/perf_check.py): the current kernel
+# LOSES to XLA's fused attention at every measured length on v5e
+# (T=512: 4.7 vs 2.7 ms; T=1024: 7.3 vs 6.5; T=2048: 30.8 vs 16.4,
+# full FS2 eval forward). Dispatch is therefore disabled until the
+# kernel wins a re-measured crossover; it remains available explicitly
+# via use_flash + this threshold for memory-bound regimes (O(T) score
+# storage) and as the sequence-sharding extension point.
+FLASH_MIN_KEY_LEN = 10**9
 
 
 def scaled_dot_attention(
