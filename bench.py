@@ -125,7 +125,8 @@ def main():
         "energy": jnp.asarray(rs.rand(b, tt).astype(np.float32) * 100),
     }
     step_fn = make_fastspeech2_train_step(model, hp, donate=False)
-    step_rng = jax.random.PRNGKey(1)
+    # production default: rbg dropout keys (config.py prng_impl)
+    step_rng = jax.random.key(1, impl=hp.prng_impl)
 
     def train_chain(k):
         # state threads through: iteration i+1 depends on iteration i

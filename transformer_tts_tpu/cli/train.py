@@ -139,7 +139,10 @@ def main(argv=None):
     # ---- mesh ----
     mesh = make_mesh()
     state = jax.device_put(state, replicated(mesh))
-    step_rng = jax.random.PRNGKey(hp.seed + 1)
+    # typed key carries the PRNG impl through fold_in/split; 'rbg'
+    # (default) halves step cost vs threefry (dropout-mask generation
+    # dominates — scripts/profile_train.py ablation)
+    step_rng = jax.random.key(hp.seed + 1, impl=hp.prng_impl)
 
     # ---- observability ----
     from transformer_tts_tpu.utils import MetricsLogger, StepTimer

@@ -63,6 +63,11 @@ _DEFAULTS: Dict[str, Any] = {
     "clip": 1.0,
     "accum_grad": 1,
     "seed": 77,
+    # dropout-mask PRNG. 'rbg' halves the measured train-step cost vs
+    # JAX's default threefry (attention-prob dropout masks dominate the
+    # step: 84 of 154 ms at 32x1024 frames — scripts/profile_train.py);
+    # set 'threefry2x32' for cross-version bit-exact dropout streams.
+    "prng_impl": "rbg",
     # --- encoder -----------------------------------------------------------
     "encoder_type": "transformer",    # transformer | conformer
     "d_model_encoder": 384,
