@@ -21,7 +21,8 @@ def rand_qkv(seed, b=2, h=2, t_q=64, t_k=64, d=32):
 def test_flash_matches_oracle(causal):
     q, k, v = rand_qkv(0)
     k_len = jnp.array([64, 40], jnp.int32)
-    out = flash_attention(q, k, v, k_len, causal, None, 32, 32, True)
+    out = flash_attention(q, k, v, k_len, causal=causal,
+                          block_q=32, block_k=32, interpret=True)
     ref = reference_attention(q, k, v, k_len, causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -31,7 +32,8 @@ def test_flash_uneven_lengths_cross_attention():
     # cross-attention shape: T_q != T_k
     q, k, v = rand_qkv(1, t_q=96, t_k=48)
     k_len = jnp.array([48, 17], jnp.int32)
-    out = flash_attention(q, k, v, k_len, False, None, 32, 16, True)
+    out = flash_attention(q, k, v, k_len, block_q=32, block_k=16,
+                          interpret=True)
     ref = reference_attention(q, k, v, k_len, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -40,7 +42,8 @@ def test_flash_uneven_lengths_cross_attention():
 def test_flash_block_not_dividing_seq():
     q, k, v = rand_qkv(2, t_q=50, t_k=50)
     k_len = jnp.array([50, 33], jnp.int32)
-    out = flash_attention(q, k, v, k_len, False, None, 32, 32, True)
+    out = flash_attention(q, k, v, k_len, block_q=32, block_k=32,
+                          interpret=True)
     ref = reference_attention(q, k, v, k_len, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -52,7 +55,8 @@ def test_flash_gradients_match_oracle(causal):
     k_len = jnp.array([32, 20], jnp.int32)
 
     def loss_flash(q, k, v):
-        o = flash_attention(q, k, v, k_len, causal, None, 16, 16, True)
+        o = flash_attention(q, k, v, k_len, causal=causal,
+                            block_q=16, block_k=16, interpret=True)
         return jnp.sum(o ** 2)
 
     def loss_ref(q, k, v):
@@ -66,9 +70,86 @@ def test_flash_gradients_match_oracle(causal):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_flash_gradients_match_oracle_padded_q():
+    # q length NOT a block multiple: padded q rows must not pollute dk/dv
+    q, k, v = rand_qkv(7, t_q=40, t_k=32, d=16)
+    k_len = jnp.array([32, 20], jnp.int32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, k_len, block_q=16, block_k=16,
+                            interpret=True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        o = reference_attention(q, k, v, k_len, False)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fully_masked_query_rows_are_zero():
     q, k, v = rand_qkv(4, t_q=16, t_k=16, d=8)
     k_len = jnp.array([0, 8], jnp.int32)   # batch 0: no valid keys
-    out = flash_attention(q, k, v, k_len, False, None, 16, 16, True)
+    out = flash_attention(q, k, v, k_len, block_q=16, block_k=16,
+                          interpret=True)
     np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
     assert not np.allclose(np.asarray(out[1]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel dropout
+# ---------------------------------------------------------------------------
+
+def test_dropout_keep_rate_and_scaling():
+    """Dropped outputs are an unbiased estimate: each attention term is
+    kept with prob (1-r) and scaled 1/(1-r); with V = ones the output of
+    every row is sum(p * keep/keep_prob) whose mean over seeds is 1."""
+    rate = 0.3
+    q, k, _ = rand_qkv(5, b=1, h=1, t_q=64, t_k=64, d=16)
+    v = jnp.ones((1, 1, 64, 16), jnp.float32)
+    k_len = jnp.array([64], jnp.int32)
+    outs = []
+    for seed in range(8):
+        o = flash_attention(q, k, v, k_len, dropout_rate=rate,
+                            dropout_seed=seed, block_q=32, block_k=32,
+                            interpret=True)
+        outs.append(np.asarray(o))
+    mean = np.mean(outs)
+    assert abs(mean - 1.0) < 0.05, mean   # unbiased within MC noise
+    # different seeds give different masks
+    assert not np.allclose(outs[0], outs[1])
+
+
+def test_dropout_deterministic_per_seed():
+    q, k, v = rand_qkv(6, b=1, h=2, t_q=32, t_k=32, d=16)
+    k_len = jnp.array([32], jnp.int32)
+    kw = dict(dropout_rate=0.5, dropout_seed=123, block_q=16,
+              block_k=16, interpret=True)
+    o1 = flash_attention(q, k, v, k_len, **kw)
+    o2 = flash_attention(q, k, v, k_len, **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_dropout_backward_consistent_with_forward():
+    """grad must see the SAME mask the forward applied: finite-difference
+    check of sum(flash(q)) in a random direction."""
+    q, k, v = rand_qkv(8, b=1, h=1, t_q=32, t_k=32, d=16)
+    k_len = jnp.array([32], jnp.int32)
+    kw = dict(dropout_rate=0.4, dropout_seed=7, block_q=16, block_k=16,
+              interpret=True)
+
+    def f(q):
+        return jnp.sum(flash_attention(q, k, v, k_len, **kw))
+
+    g = jax.grad(f)(q)
+    rs = np.random.RandomState(0)
+    direction = jnp.asarray(rs.randn(*q.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (f(q + eps * direction) - f(q - eps * direction)) / (2 * eps)
+    analytic = jnp.sum(g * direction)
+    np.testing.assert_allclose(float(fd), float(analytic),
+                               rtol=2e-2, atol=2e-2)

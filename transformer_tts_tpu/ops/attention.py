@@ -35,15 +35,15 @@ import flax.linen as nn
 NEG_FILL = -1e4        # Models/modules.py:14
 NEG_FILL_REL = -(2.0 ** 15)  # Models/modules.py:275
 
-# Minimum key length for the Pallas flash kernel. Honest A/B (round 2,
-# host-synced slope timing — scripts/perf_check.py): the current kernel
-# LOSES to XLA's fused attention at every measured length on v5e
-# (T=512: 4.7 vs 2.7 ms; T=1024: 7.3 vs 6.5; T=2048: 30.8 vs 16.4,
-# full FS2 eval forward). Dispatch is therefore disabled until the
-# kernel wins a re-measured crossover; it remains available explicitly
-# via use_flash + this threshold for memory-bound regimes (O(T) score
-# storage) and as the sequence-sharding extension point.
-FLASH_MIN_KEY_LEN = 10**9
+# Minimum key length for the Pallas flash kernel. Honest A/B of the
+# round-2 kernel (host-synced slope timing, scripts/flash_ab.py,
+# B=32 H=4 d=96 bf16, v5e): training path (fwd+bwd, attention-prob
+# dropout 0.1) flash wins at every length — T=256: 0.31 vs 2.75 ms,
+# T=512: 1.03 vs 1.57, T=1024: 4.20 vs 8.58; eval fwd at T=1024:
+# 1.51 vs 3.06. Below ~256 the eval-path results are noise-level
+# (<1.5 ms absolute) and XLA sometimes edges ahead, so dispatch starts
+# at 256.
+FLASH_MIN_KEY_LEN = 256
 
 
 def scaled_dot_attention(
@@ -158,13 +158,23 @@ class MultiHeadAttention(nn.Module):
         dropout_active = train and self.dropout > 0.0
         flash_ok = (self.use_flash and not collect_attn
                     and cache is None and k_len is not None
-                    and not dropout_active
                     and k.shape[2] >= FLASH_MIN_KEY_LEN
                     and jax.default_backend() != "cpu")
         if flash_ok:
             from transformer_tts_tpu.ops.flash_attention import (
                 flash_attention)
-            context = flash_attention(q, k, v, k_len, causal)
+            if dropout_active:
+                # in-kernel attention-prob dropout: derive a scalar seed
+                # from the flax dropout stream (fresh per step/layer);
+                # the (B,H,T,T) keep mask never touches HBM
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
+                context = flash_attention(
+                    q, k, v, k_len, causal=causal,
+                    dropout_rate=self.dropout, dropout_seed=seed)
+            else:
+                context = flash_attention(q, k, v, k_len, causal=causal)
             probs = None
         else:
             drop = nn.Dropout(self.dropout, deterministic=not train)
