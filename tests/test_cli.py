@@ -170,6 +170,26 @@ def test_ar_transformer_cli_path(corpus, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
 
 
+def test_tacotron2_decoder_cli_path(corpus, tmp_path):
+    """decoder_type=tacotron2 train -> synth roundtrip
+    (Models/transformer.py:86-87 / Models/decoder.py:58-332)."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    taco_dir = str(tmp_path / "taco_ckpt")
+    hp_path, _ = write_hp(tmp_path, corpus, max_epoch=1,
+                          model="Transformer", reduction_rate=2,
+                          decoder_type="tacotron2", save_dir=taco_dir)
+    cli_train.main(["--hp_file", hp_path])
+    assert os.path.isdir(os.path.join(taco_dir, "epoch_1"))
+    out_dir = str(tmp_path / "gen_taco")
+    cli_synth.main(["--load_name", taco_dir, "--save", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "0.npy"))
+    import numpy as np
+    mel = np.load(os.path.join(out_dir, "0.npy"))
+    assert mel.ndim == 2 and mel.shape[1] == MEL_DIM
+    assert np.isfinite(mel).all()
+
+
 def test_batched_synthesis(corpus, tmp_path):
     from transformer_tts_tpu.cli import train as cli_train
     from transformer_tts_tpu.cli import synthesize as cli_synth

@@ -71,8 +71,8 @@ def main(argv=None):
     from transformer_tts_tpu.data.readers import Normalizer
     from transformer_tts_tpu.data.batching import pick_bucket
     from transformer_tts_tpu.infer.synthesize import (
-        synthesize_fastspeech2, synthesize_transformer_tts,
-        sample_perturbation)
+        synthesize_fastspeech2, synthesize_tacotron2,
+        synthesize_transformer_tts, sample_perturbation)
     from transformer_tts_tpu.ops.masks import pad_mask
     from transformer_tts_tpu.train import checkpoint as ckpt
     from transformer_tts_tpu.train.trainer import (
@@ -138,7 +138,13 @@ def main(argv=None):
                    if "spk_emb" in batch else None)
         t0 = time.time()
         if is_ar:
-            mel, lengths = synthesize_transformer_tts(
+            # decoder_type selects the AR decode loop
+            # (Models/transformer.py:86-87): KV-cached transformer decode
+            # or the Tacotron2 zoneout-LSTM loop
+            synth_ar = (synthesize_tacotron2
+                        if hp.decoder_type.lower() == "tacotron2"
+                        else synthesize_transformer_tts)
+            mel, lengths = synth_ar(
                 model, variables, text, pos_text, spk_emb, ref_mel,
                 mean=mean_j, var=var_j)
             mel_np = np.asarray(mel)

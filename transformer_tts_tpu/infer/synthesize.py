@@ -101,6 +101,10 @@ def synthesize_transformer_tts(
     Returns (mel (B, max_steps*r, mel), lengths (B,) in frames).
     Positions beyond a sample's length are zero.
     """
+    if model.decoder_type.lower() == "tacotron2":
+        raise ValueError("decoder_type='tacotron2' uses "
+                         "synthesize_tacotron2 (zoneout-LSTM loop), not "
+                         "the KV-cached transformer decode")
     if model.ff_conv_kernel_size_decoder != 1:
         raise ValueError(
             "incremental decode requires ff_conv_kernel_size_decoder == 1 "
@@ -166,6 +170,37 @@ def synthesize_transformer_tts(
     mel = mel_post_groups.reshape(b, max_steps * r, mel_dim)
     lengths = final["length"] * r
     valid = jnp.arange(max_steps * r)[None, :] < lengths[:, None]
+    mel = jnp.where(valid[:, :, None], mel, 0.0)
+    if mean is not None and var is not None:
+        mel = jnp.where(valid[:, :, None], denormalize(mel, mean, var), 0.0)
+    return mel, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("model", "max_steps"))
+def synthesize_tacotron2(
+    model: TransformerTTS,
+    variables,
+    text: jnp.ndarray,
+    pos_text: jnp.ndarray,
+    spk_emb: Optional[jnp.ndarray] = None,
+    ref_mel: Optional[jnp.ndarray] = None,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+    *,
+    max_steps: int = MAX_AR_STEPS,
+):
+    """Tacotron2-decoder AR synthesis (Models/decoder.py:209-332 loop as
+    one ``lax.while_loop``) + causal postnet + de-normalization.
+
+    Returns (mel (B, max_steps*r, mel) fp32, lengths (B,) frames);
+    positions beyond a sample's length are zero.
+    """
+    src_mask = pad_mask(pos_text)
+    text_lengths = src_mask[:, 0, :].sum(-1).astype(jnp.int32)
+    mel, lengths = model.apply(
+        variables, text, src_mask, text_lengths, spk_emb, ref_mel,
+        max_steps, method=TransformerTTS.tacotron2_synthesize)
+    valid = jnp.arange(mel.shape[1])[None, :] < lengths[:, None]
     mel = jnp.where(valid[:, :, None], mel, 0.0)
     if mean is not None and var is not None:
         mel = jnp.where(valid[:, :, None], denormalize(mel, mean, var), 0.0)

@@ -66,6 +66,7 @@ class TransformerTTS(nn.Module):
     ff_conv_kernel_size_decoder: int = 1
     concat_after_decoder: bool = False
     encoder_type: str = "transformer"
+    decoder_type: str = "transformer"   # transformer | tacotron2
     reduction_rate: int = 2
     dropout: float = 0.1
     dropout_prenet: float = 0.5
@@ -107,17 +108,35 @@ class TransformerTTS(nn.Module):
         dec_spk = (self.spk_emb_dim
                    if ("decoder" in self.spk_emb_architecture
                        and self.spk_emb_vers == 1) else None)
-        self.decoder = Decoder(
-            mel_dim=self.mel_dim, d_model=self.d_model_decoder,
-            n_layers=self.n_layer_decoder, heads=self.n_head_decoder,
-            ff_kernel_size=self.ff_conv_kernel_size_decoder,
-            concat_after=self.concat_after_decoder, dropout=self.dropout,
-            dropout_prenet=self.dropout_prenet, spk_emb_dim=dec_spk,
-            output_type=self.output_type, use_flash=self.use_flash,
-            dtype=self.dtype)
-        self.out = nn.Dense(self.mel_dim * self.reduction_rate,
-                            dtype=self.dtype)
-        self.stop_token = nn.Dense(self.reduction_rate, dtype=self.dtype)
+        if self.decoder_type.lower() == "tacotron2":
+            # hparams-selected decoder (Models/transformer.py:86-87);
+            # frame/stop heads live inside the Tacotron2 decoder
+            # (Models/decoder.py FrameProj/TokenProj), so no out/stop
+            # Dense here — matches the reference's else-branch.
+            from transformer_tts_tpu.models.tacotron2_decoder import (
+                Tacotron2Decoder)
+            self.decoder = Tacotron2Decoder(
+                mel_dim=self.mel_dim, d_model=self.d_model_decoder,
+                d_model_encoder=self.d_model_encoder,
+                reduction_rate=self.reduction_rate,
+                dropout_prenet=self.dropout_prenet, spk_emb_dim=dec_spk,
+                dtype=self.dtype)
+            self.out = None
+            self.stop_token = None
+        else:
+            self.decoder = Decoder(
+                mel_dim=self.mel_dim, d_model=self.d_model_decoder,
+                n_layers=self.n_layer_decoder, heads=self.n_head_decoder,
+                ff_kernel_size=self.ff_conv_kernel_size_decoder,
+                concat_after=self.concat_after_decoder,
+                dropout=self.dropout,
+                dropout_prenet=self.dropout_prenet, spk_emb_dim=dec_spk,
+                output_type=self.output_type, use_flash=self.use_flash,
+                dtype=self.dtype)
+            self.out = nn.Dense(self.mel_dim * self.reduction_rate,
+                                dtype=self.dtype)
+            self.stop_token = nn.Dense(self.reduction_rate,
+                                       dtype=self.dtype)
         self.postnet = PostConvNet(
             num_hidden=self.d_model_decoder, mel_dim=self.mel_dim,
             reduction_rate=self.reduction_rate,
@@ -186,6 +205,26 @@ class TransformerTTS(nn.Module):
         e_outputs, attn_enc = self.encode(
             src, src_mask, spk_emb, style_mel, train=train,
             collect_attn=collect_attn)
+        if self.decoder_type.lower() == "tacotron2":
+            # transformer.py:113-116 else-branch: decoder emits frames +
+            # stop itself; no dec-dec self attention. ``trg`` here is the
+            # FULL-RATE teacher mel (B, T, mel), T a multiple of r — the
+            # zoneout-LSTM is teacher-forced on the last frame of each
+            # group (decoder.py:195).
+            frames, stops, attention = self.decoder(
+                trg, e_outputs, spk_emb, train=train)
+            b, t_full, _ = frames.shape
+            t = t_full // self.reduction_rate
+            # grouped layout (B, t, mel*r): identical output contract to
+            # the transformer branch, so one trainer serves both
+            mel_pre = frames.reshape(b, t, self.mel_dim
+                                     * self.reduction_rate)
+            stop = stops.reshape(b, t, self.reduction_rate)
+            mel_post = self.postnet(mel_pre, train=train)
+            return TransformerTTSOutput(
+                mel_pre=mel_pre, mel_post=mel_post, stop_token=stop,
+                attn_enc=attn_enc, attn_dec_dec=None,
+                attn_dec_enc=attention)
         d_output, attn_dd, attn_de = self.decoder(
             trg, e_outputs, src_mask, trg_mask, spk_emb, train=train,
             collect_attn=collect_attn)
@@ -195,6 +234,31 @@ class TransformerTTS(nn.Module):
         return TransformerTTSOutput(
             mel_pre=mel_pre, mel_post=mel_post, stop_token=stop,
             attn_enc=attn_enc, attn_dec_dec=attn_dd, attn_dec_enc=attn_de)
+
+    # -- tacotron2 synthesis --------------------------------------------------
+    def tacotron2_synthesize(self, src, src_mask, text_lengths=None,
+                             spk_emb=None, ref_mel=None,
+                             max_steps: int = 500):
+        """Greedy AR synthesis through the Tacotron2 decoder
+        (Models/decoder.py:209-332) + causal postnet.
+
+        Returns (mel (B, max_steps*r, mel) post-postnet fp32,
+        lengths (B,) frames).
+        """
+        if self.decoder_type.lower() != "tacotron2":
+            raise ValueError("tacotron2_synthesize requires "
+                             "decoder_type='tacotron2'")
+        e_outputs, _ = self.encode(src, src_mask, spk_emb, ref_mel,
+                                   train=False)
+        frames, lengths = self.decoder.synthesize(
+            e_outputs, text_lengths=text_lengths, spk_emb=spk_emb,
+            max_steps=max_steps)
+        b, t_full, _ = frames.shape
+        grouped = frames.reshape(b, t_full // self.reduction_rate,
+                                 self.mel_dim * self.reduction_rate)
+        post = self.postnet(grouped.astype(self.dtype), train=False)
+        mel = post.astype(jnp.float32).reshape(b, t_full, self.mel_dim)
+        return mel, lengths
 
 
 def build_transformer_tts(hp, *, train_dtype=None) -> TransformerTTS:
@@ -216,7 +280,8 @@ def build_transformer_tts(hp, *, train_dtype=None) -> TransformerTTS:
         n_head_decoder=hp.n_head_decoder,
         ff_conv_kernel_size_decoder=hp.ff_conv_kernel_size_decoder,
         concat_after_decoder=hp.concat_after_decoder,
-        encoder_type=hp.encoder_type, reduction_rate=hp.reduction_rate,
+        encoder_type=hp.encoder_type, decoder_type=hp.decoder_type,
+        reduction_rate=hp.reduction_rate,
         dropout=hp.dropout, dropout_prenet=hp.dropout_prenet,
         dropout_postnet=hp.dropout_postnet, gst=hp.gst,
         multi_speaker=hp.is_multi_speaker, spk_emb_dim=hp.spk_emb_dim,

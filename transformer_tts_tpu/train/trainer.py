@@ -247,12 +247,19 @@ def init_transformer_state(hp: HParams, rng: jax.Array, *,
                                                           TrainState]:
     model = build_transformer_tts(hp)
     b, r = 2, hp.reduction_rate
-    t = max_frames // r - 1
     src = jnp.ones((b, max_text), jnp.int32)
-    trg = jnp.zeros((b, t, hp.mel_dim))
     pos_text = jnp.tile(jnp.arange(1, max_text + 1)[None], (b, 1))
-    pos_mel = jnp.tile(jnp.arange(1, t + 1)[None], (b, 1))
-    src_mask, trg_mask = create_masks(pos_text, pos_mel, model="transformer")
+    if hp.decoder_type.lower() == "tacotron2":
+        # full-rate teacher target (multiple of r)
+        trg = jnp.zeros((b, max_frames - r, hp.mel_dim))
+        src_mask, trg_mask = create_masks(pos_text, None,
+                                          model="transformer")
+    else:
+        t = max_frames // r - 1
+        trg = jnp.zeros((b, t, hp.mel_dim))
+        pos_mel = jnp.tile(jnp.arange(1, t + 1)[None], (b, 1))
+        src_mask, trg_mask = create_masks(pos_text, pos_mel,
+                                          model="transformer")
     kwargs = {}
     if hp.is_multi_speaker:
         kwargs["spk_emb"] = (
@@ -282,19 +289,29 @@ def make_transformer_train_step(model: TransformerTTS, hp: HParams,
     """
     r = model.reduction_rate
 
+    is_taco = model.decoder_type.lower() == "tacotron2"
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         mel = batch["mel"]
         b, total_frames, mel_dim = mel.shape
-        if r > 1:
+        if is_taco:
+            # tacotron2 decoder is teacher-forced on the FULL-RATE target
+            # (Models/decoder.py:104-207); same loss targets mel[:, r:]
+            mel_input = mel[:, r:, :]
+            src_mask, trg_mask = create_masks(
+                batch["pos_text"], None, model="transformer")
+        elif r > 1:
             mel_input = mel[:, :-r:r, :]              # train.py:186
             pos_mel = batch["pos_mel"][:, :-r:r]
+            src_mask, trg_mask = create_masks(
+                batch["pos_text"], pos_mel, model="transformer")
         else:
             mel_input = mel[:, :-1, :]
             pos_mel = batch["pos_mel"][:, :-1]
-        src_mask, trg_mask = create_masks(
-            batch["pos_text"], pos_mel, model="transformer")
+            src_mask, trg_mask = create_masks(
+                batch["pos_text"], pos_mel, model="transformer")
 
         def loss_fn(params):
             variables = {"params": params,
