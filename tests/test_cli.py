@@ -137,14 +137,38 @@ def test_melmel_and_integrate_cli_paths(corpus, tmp_path):
                     "--hp_file", hp2])
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
 
-    # 4) integrate (text-mel-mel) training
+    # 4) integrate (text-mel-mel) training — enough epochs that the
+    #    duration predictor rounds to >= 1 frame/phone at inference
+    #    (an untrained one predicts exp(0)-1 = 0 -> empty mels)
     int_dir = str(tmp_path / "int_ckpt")
     hp3, _ = write_hp(
-        tmp_path, corpus, max_epoch=1,
+        tmp_path, corpus, max_epoch=8,
         architecture="text-mel-mel", version=3, phone_embed=True,
         postnet_pred=False, n_layer_post_model=1, save_dir=int_dir)
     cli_train.main(["--hp_file", hp3])
-    assert os.path.isdir(os.path.join(int_dir, "epoch_1"))
+    assert os.path.isdir(os.path.join(int_dir, "epoch_8"))
+
+    # 5) integrate synthesis: one joint forward, post output residual-
+    #    added onto the prenet mel, prenet mel saved alongside
+    #    (test_fastspeech2_dev_integrate_train.py:107-220)
+    import numpy as np
+    int_out = str(tmp_path / "gen_int")
+    cli_synth.main(["--load_name", int_dir, "--save", int_out,
+                    "--max_frames", "64"])
+    mel = np.load(os.path.join(int_out, "0.npy"))
+    pre = np.load(os.path.join(int_out, "0_prenet.npy"))
+    assert mel.shape == pre.shape and mel.shape[1] == MEL_DIM
+    assert mel.shape[0] > 0              # predicted durations nonzero
+    assert np.isfinite(mel).all()
+    assert not np.allclose(mel, pre)     # post residual actually applied
+
+    # 6) --save_prenet: main output IS the prenet mel
+    int_out2 = str(tmp_path / "gen_int_prenet")
+    cli_synth.main(["--load_name", int_dir, "--save", int_out2,
+                    "--max_frames", "64", "--save_prenet"])
+    mel2 = np.load(os.path.join(int_out2, "0.npy"))
+    np.testing.assert_array_equal(
+        mel2, np.load(os.path.join(int_out2, "0_prenet.npy")))
 
 
 def test_sq_cli_path(corpus, tmp_path):

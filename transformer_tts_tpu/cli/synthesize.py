@@ -47,6 +47,12 @@ def main(argv=None):
     parser.add_argument("--use_prenet", action="store_true",
                         help="save the pre-postnet mel (test_fastspeech2 "
                              "--use_prenet equivalent)")
+    parser.add_argument("--save_prenet", action="store_true",
+                        help="text-mel-mel path: save the FS2 prenet "
+                             "output as the main mel instead of the "
+                             "post-model-refined one (integrate tester "
+                             "--save_prenet, "
+                             "test_fastspeech2_dev_integrate_train.py:211)")
     parser.add_argument("--ref_mel", type=str, default=None,
                         help="reference mel .npy for GST style "
                              "conditioning at synthesis "
@@ -71,8 +77,9 @@ def main(argv=None):
     from transformer_tts_tpu.data.readers import Normalizer
     from transformer_tts_tpu.data.batching import pick_bucket
     from transformer_tts_tpu.infer.synthesize import (
-        synthesize_fastspeech2, synthesize_tacotron2,
-        synthesize_transformer_tts, sample_perturbation)
+        synthesize_fastspeech2, synthesize_integrate,
+        synthesize_tacotron2, synthesize_transformer_tts,
+        sample_perturbation)
     from transformer_tts_tpu.ops.masks import pad_mask
     from transformer_tts_tpu.train import checkpoint as ckpt
     from transformer_tts_tpu.train.trainer import (
@@ -91,11 +98,15 @@ def main(argv=None):
 
     from transformer_tts_tpu.config import is_nar_model
     is_ar = not is_nar_model(hp.model)
+    # text-mel-mel snapshot -> the joint (debug=True) model with the
+    # attached post-model (test_fastspeech2_dev_integrate_train.py:112-119)
+    is_integrate = hp.architecture == "text-mel-mel"
     rng = jax.random.PRNGKey(0)
     if is_ar:
         model, state = init_transformer_state(hp, rng)
     else:
-        model, state = init_fastspeech2_state(hp, rng)
+        model, state = init_fastspeech2_state(
+            hp, rng, enable_post_model=is_integrate)
     params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
     variables = {"params": params, "batch_stats": state.batch_stats,
                  "vq_stats": state.vq_stats}
@@ -150,6 +161,23 @@ def main(argv=None):
             mel_np = np.asarray(mel)
             lens = [int(lengths[j]) for j in range(n_real)]
             durations = None
+        elif is_integrate:
+            refined, prenet, mel_len, durations = synthesize_integrate(
+                model, variables, text, pos_text, args.max_frames,
+                spk_emb=spk_emb,
+                spk_emb_post=(jnp.asarray(batch["spk_emb_post"])
+                              if "spk_emb_post" in batch else None),
+                accent=(jnp.asarray(batch["accent"])
+                        if "accent" in batch else None),
+                mean=mean_j, var=var_j)
+            mel = prenet if args.save_prenet else refined
+            mel_np = np.asarray(mel)
+            prenet_np = np.asarray(prenet)
+            lens = [int(mel_len[j]) for j in range(n_real)]
+            # the reference writes the prenet mel alongside (:206-210)
+            for j, idx in enumerate(chunk):
+                np.save(os.path.join(args.save, f"{idx}_prenet.npy"),
+                        prenet_np[j, :lens[j]])
         else:
             p_scale = sample_perturbation(prng) \
                 if args.pitch_perturbation else 1.0

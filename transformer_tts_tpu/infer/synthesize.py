@@ -81,6 +81,48 @@ def synthesize_fastspeech2(
     return mel, out.mel_len, durations.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "max_frames"))
+def synthesize_integrate(
+    model: FastSpeech2,
+    variables,
+    text: jnp.ndarray,
+    pos_text: jnp.ndarray,
+    max_frames: int,
+    spk_emb: Optional[jnp.ndarray] = None,
+    spk_emb_post: Optional[jnp.ndarray] = None,
+    accent: Optional[jnp.ndarray] = None,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+):
+    """text-mel-mel joint-model synthesis
+    (test_fastspeech2_dev_integrate_train.py:107-220).
+
+    One forward of the ``enable_post_model`` FastSpeech2; the post-model
+    output is residual-added (:174-182): onto mel_post when
+    ``postnet_pred``, else onto mel_pre (versions 8/9/10 emit a tuple —
+    the first element is the residual). Returns
+    (refined (B,T,mel), prenet (B,T,mel), mel_len (B,), durations) — the
+    reference saves the prenet output alongside (:206-210).
+    """
+    src_mask = pad_mask(pos_text)
+    out = model.apply(variables, text, src_mask, max_frames,
+                      accent=accent, spk_emb=spk_emb,
+                      spk_emb_post=spk_emb_post, train=False)
+    post = out.post_output
+    if isinstance(post, tuple):
+        post = post[0]                   # versions 8/9/10 (:180-181)
+    base = out.mel_post if model.postnet_pred else out.mel_pre
+    refined = base + post.astype(base.dtype)
+    prenet = out.mel_pre
+    if mean is not None and var is not None:
+        refined = denormalize(refined, mean, var)
+        prenet = denormalize(prenet, mean, var)
+    durations = jnp.round(
+        jnp.exp(out.log_duration) - model.log_offset).clip(0)
+    durations = jnp.where(src_mask[:, 0, :], durations, 0)
+    return refined, prenet, out.mel_len, durations.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "max_steps",
                                              "stop_threshold"))
 def synthesize_transformer_tts(

@@ -61,6 +61,8 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
         if s in (hp.spk_emb_architecture or ""))
     post_cfg = None
     if enable_post_model:
+        # tuple-of-pairs, not dict: the module must stay hashable so it
+        # can ride as a static arg of the jitted synthesize fns
         post_cfg = dict(
             out_size=hp.mel_dim_post, d_model=hp.d_model_encoder,
             n_layers=hp.n_layer_post_model, heads=hp.n_head_encoder,
@@ -71,7 +73,10 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
             spk_emb_dim=hp.spk_emb_dim_postprocess,
             num_speakers=hp.num_speakers, vq_code=hp.vq_code,
             post_conformer=hp.post_conformer,
-            intermediate_layers_out=hp.intermediate_layers_out)
+            intermediate_layers_out=(
+                tuple(hp.intermediate_layers_out)
+                if hp.intermediate_layers_out else None))
+        post_cfg = tuple(sorted(post_cfg.items()))
     return FastSpeech2(
         vocab_size=hp.vocab_size, mel_dim=hp.mel_dim,
         d_model_encoder=hp.d_model_encoder,
