@@ -14,11 +14,13 @@ from transformer_tts_tpu.train.trainer import (
 
 
 def tiny_hp(**kw):
-    return HParams(
+    base = dict(
         d_model_encoder=64, d_model_decoder=64, n_layer_encoder=2,
         n_layer_decoder=2, n_head_encoder=2, n_head_decoder=2,
         vocab_size=40, mel_dim=16, amp=False, optimizer="Noam",
-        warmup_step=10, batch_size=2, **kw)
+        warmup_step=10, batch_size=2)
+    base.update(kw)
+    return HParams(**base)
 
 
 def make_batch(rng, b=2, l=12, t=48, mel_dim=16, vocab=40):
@@ -289,3 +291,33 @@ def test_gst_training_path_uses_target_mel():
     }
     state, logs = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_softmax_output_mode_train_step():
+    """Discrete dual-stream output mode (train_fastspeech2.py:182-195):
+    CE on prenet+postnet logits, accuracy logs, duration/f0/energy
+    losses still applied; padding ignored via ignore_index 320."""
+    num_classes = 20
+    hp = tiny_hp(output_type="softmax", mel_dim=2 * num_classes)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+
+    b, l, t = 2, 12, 48
+    rs = np.random.RandomState(0)
+    tokens = rs.randint(0, num_classes, (b, t, 2)).astype(np.int32)
+    tokens[1, 40:] = 320                        # padded tail (collate pad)
+    batch = make_batch(0, b=b, l=l, t=t)
+    batch["mel"] = jnp.asarray(tokens)
+
+    state2, logs = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss_total"]))
+    assert "accuracy_1" in logs and "accuracy_2" in logs
+    a1 = float(logs["accuracy_1"])
+    assert 0.0 <= a1 <= 1.0
+    assert "loss_duration" in logs and "loss_f0" in logs
+    # CE of an untrained net over 20 classes ~ log(20)x2 streams per head
+    assert 1.0 < float(logs["loss_frame_before"]) < 20.0
+    # params actually updated
+    leaf0 = jax.tree.leaves(state.params)[0]
+    leaf1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))

@@ -136,24 +136,26 @@ class TTSDataset:
 
         if hp.output_type:
             # discrete dual-stream tokens (VQWav2vecTrainDatasets,
-            # datasets_fastspeech2.py:419-467): (T, 2) int codes, no
-            # normalization, no go-frame
+            # datasets_transformer.py:162-227): (T, 2) int codes, no
+            # normalization, no go-frame. Variance targets (alignment/
+            # f0/energy siblings) still load below — the FS2 softmax
+            # trainer keeps duration/f0/energy losses
+            # (train_fastspeech2.py:244-260).
             tokens = np.load(mel_name).astype(np.int32)
             if tokens.ndim == 1:
                 tokens = tokens[:, None]
             sample["mel"] = tokens
             sample["mel_length"] = tokens.shape[0]
-            return sample
-
-        mel = self._load_mel(mel_name)
-        if self.is_ar:
-            mel = np.concatenate(
-                [np.zeros((1, hp.mel_dim), np.float32), mel], axis=0)
-            mel_length = _round_up(mel.shape[0], hp.reduction_rate)
         else:
-            mel_length = mel.shape[0]
-        sample["mel"] = mel.astype(np.float32)
-        sample["mel_length"] = mel_length
+            mel = self._load_mel(mel_name)
+            if self.is_ar:
+                mel = np.concatenate(
+                    [np.zeros((1, hp.mel_dim), np.float32), mel], axis=0)
+                mel_length = _round_up(mel.shape[0], hp.reduction_rate)
+            else:
+                mel_length = mel.shape[0]
+            sample["mel"] = mel.astype(np.float32)
+            sample["mel_length"] = mel_length
 
         tail = hp.tail_alignment + ".npy"
         if self.alignment_pred:

@@ -126,12 +126,19 @@ def fastspeech2_loss(
     log_offset: float = 1.0,
     channel_wise: bool = False,
     channel_weight=None,
+    output_type=None,
 ):
     """Total FastSpeech2 loss + component dict (train_fastspeech2.py:197-302).
 
     ``out`` is a FastSpeech2Output. With ``masked=False`` (default) the
     averages run over padded positions too, exactly like the reference's
     plain ``nn.L1Loss()`` calls.
+
+    ``output_type='softmax'``: discrete dual-stream mode
+    (train_fastspeech2.py:182-195) — mel losses become cross-entropy on
+    (B, T, 2) int targets (pad = ignore_index 320), with accuracy logs
+    from the postnet logits; duration/f0/energy losses apply as usual
+    (:244-260 adds them regardless of output mode).
     """
     fmask = mel_mask[:, 0, :, None] if (masked and mel_mask is not None) \
         else None
@@ -139,6 +146,32 @@ def fastspeech2_loss(
     smask = src_mask[:, 0, :] if (masked and src_mask is not None) else None
 
     logs = {}
+    if output_type == "softmax":
+        num_classes = out.mel_pre.shape[-1] // 2
+        mel_loss, _ = softmax_output_loss(out.mel_pre, mel, num_classes)
+        logs["loss_frame_before"] = mel_loss
+        total = mel_loss
+        if out.mel_post is not None:
+            post_loss, acc = softmax_output_loss(out.mel_post, mel,
+                                                 num_classes)
+            logs["loss_frame_after"] = post_loss
+            logs.update(acc)         # accuracy_1/2 (:190-194 prints)
+            total = total + post_loss
+        d_loss = duration_loss(out.log_duration, d_target, smask,
+                               log_offset)
+        logs["loss_duration"] = d_loss
+        total = total + d_loss
+        if out.pitch is not None and f0 is not None:
+            f0_loss = l1(out.pitch, f0, vmask)
+            logs["loss_f0"] = f0_loss
+            total = total + f0_loss
+        if out.energy is not None and energy is not None:
+            e_loss = l1(out.energy, energy, vmask)
+            logs["loss_energy"] = e_loss
+            total = total + e_loss
+        logs["loss_total"] = total
+        return total, logs
+
     if channel_wise:
         cw = channel_weight if channel_weight is not None else (1.0, 1.0)
         mel_loss = channel_wise_l1(out.mel_pre, mel, cw)

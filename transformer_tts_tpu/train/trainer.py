@@ -203,7 +203,8 @@ def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
                 masked=False, use_ssim=hp.use_ssim,
                 use_sq_vae=hp.use_sq_vae, log_offset=hp.log_offset,
                 channel_wise=hp.channel_wise,
-                channel_weight=hp.channel_weight)
+                channel_weight=hp.channel_weight,
+                output_type=hp.output_type)
             return total, (logs, mutated)
 
         (loss, (logs, mutated)), grads = jax.value_and_grad(
