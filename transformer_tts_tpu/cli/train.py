@@ -169,6 +169,26 @@ def main(argv=None):
 
     # ---- epoch loop ----
     global_step = int(state.step)
+
+    def emit(pending):
+        """Print/record one step's logs. float() is the device sync: it
+        runs AFTER the next step has been dispatched (one-step-lagged
+        logging), so the host transfer overlaps device execution and
+        per-step prints (the reference's observability contract,
+        train_fastspeech2.py:242-299) no longer serialize the chip."""
+        p_epoch, p_step, p_t0, p_logs = pending
+        parts = " ".join(
+            f"{k}={float(v):.4f}" for k, v in sorted(p_logs.items())
+            if np.ndim(v) == 0)
+        print(f"epoch {p_epoch + 1} step {p_step} {parts} "
+              f"({time.time() - p_t0:.3f}s)")
+        sys.stdout.flush()
+        metrics.log(p_step, steps_per_sec=timer.steps_per_sec,
+                    **{k: v for k, v in p_logs.items() if np.ndim(v) == 0})
+        loss = float(p_logs["loss_total"])
+        assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
+
+    pending = None
     for epoch in range(start_epoch, hp.max_epoch):
         t_epoch = time.time()
         for batch in loader:
@@ -179,27 +199,17 @@ def main(argv=None):
             state, logs = step_fn(state, arrays, step_rng)
             global_step += 1
             timer.tick()
-            # per-step loss prints are the reference's observability
-            # contract (train_fastspeech2.py:242-299); hp.log_every > 1
-            # skips the device sync on intermediate steps so dispatch
-            # runs ahead of the chip
-            if global_step % hp.log_every == 0:
-                parts = " ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
-                    if np.ndim(v) == 0)
-                print(f"epoch {epoch + 1} step {global_step} {parts} "
-                      f"({time.time() - t0:.3f}s)")
-                sys.stdout.flush()
-                metrics.log(global_step,
-                            steps_per_sec=timer.steps_per_sec,
-                            **{k: v for k, v in logs.items()
-                               if np.ndim(v) == 0})
-                loss = float(logs["loss_total"])
-                assert np.isfinite(loss) or arch == "mel-mel",                     "loss is nan"
+            if pending is not None:
+                emit(pending)
+            pending = ((epoch, global_step, t0, logs)
+                       if global_step % hp.log_every == 0 else None)
             if stop_requested["flag"]:
                 break
             if args.max_steps and global_step >= args.max_steps:
                 break
+        if pending is not None:       # drain before epoch-end checkpoint
+            emit(pending)
+            pending = None
         if jax.process_index() == 0:
             if ckpt.should_save(epoch + 1, hp.max_epoch, hp.save_per_epoch):
                 ckpt.save_checkpoint(

@@ -156,8 +156,9 @@ _DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,               # e.g. {"data": 8}; None = all devices
     "remat": False,                   # jax.checkpoint the encoder/decoder
     "debug_nans": False,              # jax.config nan-checking (SURVEY §5)
-    "log_every": 1,                   # step-log cadence; >1 lets dispatch
-                                      # run ahead (each log syncs device)
+    "log_every": 1,                   # step-log cadence; prints lag one
+                                      # step so the device sync overlaps
+                                      # the next step's execution
     "profile_dir": None,              # jax.profiler trace output dir
     "num_workers": 8,                 # data-loader threads
 }
