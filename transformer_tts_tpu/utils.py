@@ -120,13 +120,22 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """JSONL metrics writer (the TensorBoard replacement; one line per
-    step gives the same scalars the reference prints, greppable)."""
+    """JSONL metrics writer + TensorBoard event file.
 
-    def __init__(self, log_dir: str, name: str = "train"):
+    One JSONL line per step (greppable), plus standard tfevents scalars
+    so the reference's documented ``tensorboard --logdir
+    <save_dir>/logs`` workflow works (reference README.md:12;
+    train_Fastspeech2.py:15,101)."""
+
+    def __init__(self, log_dir: str, name: str = "train",
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self._fh = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from transformer_tts_tpu.train.tb_writer import TBEventWriter
+            self._tb = TBEventWriter(log_dir)
 
     def log(self, step: int, **scalars):
         rec = {"step": int(step), "time": time.time()}
@@ -137,9 +146,15 @@ class MetricsLogger:
                 continue
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(
+                step, {k: v for k, v in rec.items()
+                       if k not in ("step", "time")})
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def start_profiler(log_dir: str):
