@@ -193,3 +193,19 @@ def test_lengths_batch_sampler_sum_budget():
         assert sum(lengths[b]) <= 30 or len(b) == 1
     flat = [i for b in s.all_indices for i in b]
     assert flat == sorted(flat)
+
+
+def test_mel_lengths_fast_path_matches_getitem(corpus):
+    """Header-only .npy length scan must equal the full __getitem__
+    lengths for NAR, AR (go-frame + reduction-rate rounding), and
+    discrete token corpora."""
+    tmp_path, script = corpus
+    for kw in (dict(),                                     # NAR float
+               dict(model="Transformer", reduction_rate=2)):  # AR
+        hp = make_hp(**kw)
+        ds = TTSDataset(script, hp)
+        fast = ds.mel_lengths()
+        slow = np.array([ds[i]["mel_length"] for i in range(len(ds))])
+        np.testing.assert_array_equal(fast, slow)
+        assert all(ds._fast_mel_length(i) is not None
+                   for i in range(len(ds)))   # fast path actually used

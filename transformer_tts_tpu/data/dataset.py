@@ -169,9 +169,31 @@ class TTSDataset:
                 mel_name.replace(".npy", "_energy.npy")).astype(np.float32)
         return sample
 
+    def _fast_mel_length(self, idx: int) -> Optional[int]:
+        """Length of utterance ``idx`` from the .npy header only.
+
+        The reference builds lengths.npy by iterating __getitem__
+        (datasets_fastspeech2.py:761-774) — loading every mel AND its
+        f0/energy/alignment siblings just to read one shape. Here .npy
+        headers are parsed without touching the data (None -> fall back
+        to the full __getitem__ for .htk/.mel containers)."""
+        mel_name = self.rows[idx][0]
+        if not mel_name.endswith(".npy"):
+            return None
+        try:
+            n = np.load(mel_name, mmap_mode="r").shape[0]
+        except Exception:
+            return None
+        if self.hp.output_type:
+            return n
+        if self.is_ar:
+            return _round_up(n + 1, self.hp.reduction_rate)  # go-frame
+        return n
+
     def mel_lengths(self, cache_file: Optional[str] = None) -> np.ndarray:
         """Per-utterance mel lengths (built/cached like the reference's
-        lengths.npy, datasets_fastspeech2.py:761-774)."""
+        lengths.npy, datasets_fastspeech2.py:761-774), via header-only
+        .npy reads on the cold path."""
         if cache_file and os.path.exists(cache_file):
             lengths = np.load(cache_file)
             if len(lengths) != len(self):
@@ -179,7 +201,11 @@ class TTSDataset:
                     f"lengths file {cache_file} has {len(lengths)} entries "
                     f"for a {len(self)}-utterance script")
             return lengths
-        lengths = np.array([self[i]["mel_length"] for i in range(len(self))])
+        def length(i):
+            n = self._fast_mel_length(i)
+            return n if n is not None else self[i]["mel_length"]
+
+        lengths = np.array([length(i) for i in range(len(self))])
         if cache_file:
             np.save(cache_file, lengths)
         return lengths
