@@ -79,6 +79,8 @@ VARIANTS = {
     "fp32": ("fp32 (amp off)", dict(amp=False)),
     "rbg": ("rbg PRNG, dropout=0.1", {}),
     "unsafe_rbg": ("unsafe_rbg PRNG, dropout=0.1", {}),
+    "t2048": ("bucket 32x2048", {}),
+    "b64": ("bucket 64x1024", {}),
 }
 
 
@@ -92,7 +94,12 @@ def main():
         label, kwargs = VARIANTS[key]
         if key in ("rbg", "unsafe_rbg"):
             jax.config.update("jax_default_prng_impl", key)
-        time_variant(label, kwargs)
+        shape = {}
+        if key == "t2048":
+            shape = dict(tt=2048, lt=128, n_long=4)
+        elif key == "b64":
+            shape = dict(b=64, n_long=4)
+        time_variant(label, kwargs, **shape)
         if key in ("rbg", "unsafe_rbg"):
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     if "trace" not in names and sys.argv[1:]:
