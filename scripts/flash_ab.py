@@ -86,6 +86,25 @@ def main():
                 jnp.sum(g.astype(jnp.float32)) for g in
                 jax.grad(loss_xla_d, argnums=(0, 1, 2))(q, k, v, kl)
             ).astype(jnp.bfloat16))
+        if "blocks" in modes:
+            # (block_q, block_k) sweep at the training config
+            # (fwd+bwd, dropout 0.1 — what the 6-layer decoder pays)
+            for bq in (128, 256, 512):
+                for bk in (256, 512, 1024):
+                    if bq > t or bk > t:
+                        continue
+
+                    def loss_b(q, k, v, kl, bq=bq, bk=bk):
+                        o = flash_attention(q, k, v, kl, dropout_rate=0.1,
+                                            dropout_seed=3, block_q=bq,
+                                            block_k=bk)
+                        return jnp.sum(o.astype(jnp.float32))
+
+                    run_pair(f"flash drop bq={bq} bk={bk}",
+                             lambda q, k, v, kl, f=loss_b: sum(
+                                 jnp.sum(g.astype(jnp.float32)) for g in
+                                 jax.grad(f, argnums=(0, 1, 2))(q, k, v, kl)
+                             ).astype(jnp.bfloat16))
         if "bwd" in modes:
             def loss_flash(q, k, v, kl):
                 return jnp.sum(flash_attention(q, k, v, kl)

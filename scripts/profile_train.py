@@ -33,8 +33,9 @@ def make_batch(rs, b, lt, tt, vocab, mel_dim):
 
 
 def time_variant(name, hp_kwargs, b=32, lt=64, tt=1024, n_long=6,
-                 repeats=7, with_flops=False):
+                 repeats=7, with_flops=False, donate=False):
     import jax
+    import jax.numpy as jnp
     from transformer_tts_tpu.bench_utils import slope_time, xla_flops
     from transformer_tts_tpu.config import HParams
     from transformer_tts_tpu.train.trainer import (
@@ -44,11 +45,15 @@ def time_variant(name, hp_kwargs, b=32, lt=64, tt=1024, n_long=6,
     rs = np.random.RandomState(0)
     model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
     batch = make_batch(rs, b, lt, tt, hp.vocab_size, hp.mel_dim)
-    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
-    rng = jax.random.PRNGKey(1)
+    step_fn = make_fastspeech2_train_step(model, hp, donate=donate)
+    # production dropout keys (config.py prng_impl, default rbg) — a
+    # threefry key here would re-inflate the dropout cost being measured
+    rng = jax.random.key(1, impl=hp.prng_impl)
 
     def chain(k):
-        s = state
+        # donation consumes the input state's buffers — give each chain
+        # its own copy (the copy cost cancels in the slope)
+        s = jax.tree.map(jnp.copy, state) if donate else state
         logs = None
         for _ in range(k):
             s, logs = step_fn(s, batch, rng)
@@ -77,10 +82,21 @@ VARIANTS = {
                                            energy_pred=False)),
     "remat": ("remat", dict(remat=True)),
     "fp32": ("fp32 (amp off)", dict(amp=False)),
-    "rbg": ("rbg PRNG, dropout=0.1", {}),
-    "unsafe_rbg": ("unsafe_rbg PRNG, dropout=0.1", {}),
+    "threefry": ("threefry PRNG, dropout=0.1", dict(
+        prng_impl="threefry2x32")),
+    "rbg": ("rbg PRNG, dropout=0.1", dict(prng_impl="rbg")),
+    "unsafe_rbg": ("unsafe_rbg PRNG, dropout=0.1", dict(
+        prng_impl="unsafe_rbg")),
     "t2048": ("bucket 32x2048", {}),
     "b64": ("bucket 64x1024", {}),
+    # round-2 structural breakdown of the remaining ~68 ms
+    "dec3": ("decoder layers 6->3", dict(n_layer_decoder=3)),
+    "enc3": ("encoder layers 6->3", dict(n_layer_encoder=3)),
+    "noflash": ("XLA attention (flash off)", dict(
+        use_flash_attention=False)),
+    "donate": ("donated state buffers", {}),
+    "enck1": ("encoder ff kernel 5->1", dict(
+        ff_conv_kernel_size_encoder=1)),
 }
 
 
@@ -92,16 +108,14 @@ def main():
         if key == "trace":
             continue
         label, kwargs = VARIANTS[key]
-        if key in ("rbg", "unsafe_rbg"):
-            jax.config.update("jax_default_prng_impl", key)
         shape = {}
         if key == "t2048":
             shape = dict(tt=2048, lt=128, n_long=4)
         elif key == "b64":
             shape = dict(b=64, n_long=4)
+        elif key == "donate":
+            shape = dict(donate=True)
         time_variant(label, kwargs, **shape)
-        if key in ("rbg", "unsafe_rbg"):
-            jax.config.update("jax_default_prng_impl", "threefry2x32")
     if "trace" not in names and sys.argv[1:]:
         return
 

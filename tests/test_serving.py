@@ -1,0 +1,146 @@
+"""Serving engine + micro-batching server tests."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+
+# ---------------- micro-batcher (fast, no model) ----------------
+
+def test_microbatcher_coalesces_and_preserves_order():
+    from transformer_tts_tpu.infer.server import MicroBatcher
+
+    calls = []
+
+    def fake_synth(texts, speakers=None):
+        calls.append([len(t) for t in texts])
+        return [{"mel": np.zeros((len(t), 4), np.float32),
+                 "durations": np.ones((len(t),), np.int32)} for t in texts]
+
+    mb = MicroBatcher(fake_synth, batch_size=4, batch_window_ms=50.0)
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = mb.submit(list(range(1, i + 2)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+
+    for i, r in enumerate(results):
+        assert r["mel"].shape == (i + 1, 4)   # each caller got its own
+    # coalescing happened: fewer synth calls than requests
+    assert 2 <= len(calls) <= 5
+    assert sum(len(c) for c in calls) == 6
+
+
+def test_microbatcher_propagates_errors():
+    from transformer_tts_tpu.infer.server import MicroBatcher
+
+    def bad_synth(texts, speakers=None):
+        raise ValueError("boom")
+
+    mb = MicroBatcher(bad_synth, batch_size=2, batch_window_ms=1.0)
+    with pytest.raises(RuntimeError, match="boom"):
+        mb.submit([1, 2, 3])
+    mb.close()
+
+
+# ---------------- end-to-end engine + HTTP (slow) ----------------
+
+@pytest.mark.slow
+def test_engine_server_export_roundtrip(tmp_path):
+    # build the same tiny corpus/checkpoint as the CLI tests
+    from tests.test_cli import write_hp, MEL_DIM
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        t_text = rs.randint(4, 8)
+        t_mel = t_text * 3
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), 3, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(lines[:2]) + "\n")
+
+    hp_path, save_dir = write_hp(tmp_path, tmp_path, max_epoch=1)
+    from transformer_tts_tpu.cli import train as cli_train
+    cli_train.main(["--hp_file", hp_path])
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    engine = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                       text_buckets=(8,))
+    times = engine.warmup()
+    assert set(times) == {8}
+
+    # direct batched synthesis: ragged batch, trimmed outputs
+    texts = [[1, 2, 3], [4, 5, 6, 7, 2]]
+    results = engine.synthesize(texts)
+    assert len(results) == 2
+    for t, r in zip(texts, results):
+        assert r["mel"].ndim == 2 and r["mel"].shape[1] == MEL_DIM
+        assert r["durations"].shape == (len(t),)
+        assert r["mel"].shape[0] == int(r["durations"].sum())
+
+    # HTTP round trip through the micro-batcher
+    from transformer_tts_tpu.infer.server import TTSServer
+    server = TTSServer(engine, port=0, batch_window_ms=1.0)
+    server.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["text_buckets"] == [8]
+
+        body = json.dumps({"text_ids": [1, 2, 3]})
+        conn.request("POST", "/synthesize", body,
+                     {"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["mel_frames"] == len(resp["mel"])
+        # barely-trained model may predict 0 frames; reshape keeps the
+        # comparison well-defined either way
+        got = np.asarray(resp["mel"], np.float32).reshape(-1, MEL_DIM)
+        np.testing.assert_allclose(got, results[0]["mel"], atol=1e-4)
+        assert resp["durations"] == [int(d)
+                                     for d in results[0]["durations"]]
+
+        # batch endpoint bypasses the batcher
+        body = json.dumps({"batch": texts})
+        conn.request("POST", "/synthesize", body,
+                     {"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert len(resp["results"]) == 2
+        conn.close()
+    finally:
+        server.stop()
+
+    # export -> deserialize -> identical outputs, no model code
+    import jax
+    from jax import export as jexport
+    out_dir = str(tmp_path / "exported")
+    manifest = engine.export(out_dir)
+    assert "8" in manifest["buckets"]
+    with open(f"{out_dir}/{manifest['buckets']['8']['file']}", "rb") as fh:
+        exp = jexport.deserialize(fh.read())
+    text = np.zeros((2, 8), np.int32)
+    pos = np.zeros((2, 8), np.int32)
+    text[0, :3] = [1, 2, 3]
+    pos[0, :3] = [1, 2, 3]
+    mel_x, len_x, dur_x = jax.jit(exp.call)(text, pos)
+    mel_e, len_e, dur_e = engine._run_padded(text, pos)
+    np.testing.assert_allclose(np.asarray(mel_x), np.asarray(mel_e),
+                               atol=1e-5)
+    assert int(len_x[0]) == int(len_e[0])

@@ -1,0 +1,76 @@
+"""Serving CLI: bucketed AOT warmup + micro-batching HTTP synthesis.
+
+``python -m transformer_tts_tpu.cli.serve --load_name <ckpt_dir> \
+      [--port 8571] [--batch_size 8] [--buckets 32,64,128] \
+      [--export <dir>]``
+
+With ``--export``, writes one serialized ``jax.export`` StableHLO
+artifact per text bucket (weights baked in) plus ``manifest.json`` and
+exits — the deployable unit for a non-Python serving binary. Otherwise
+warms every (batch, bucket) signature and serves
+``POST /synthesize {"text_ids": [...]}`` / ``GET /healthz``.
+
+Beyond-reference: the reference's synthesis scripts are offline batch-1
+loops (test_fastspeech2.py:146-204); this is the production path the
+task's serving goal asks for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_name", type=str, required=True)
+    parser.add_argument("--hp_file", type=str, default=None)
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8571)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--frames_per_phone", type=int, default=8)
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="comma-separated text buckets "
+                             "(default: hp.text_buckets)")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0)
+    parser.add_argument("--export", type=str, default=None,
+                        help="write jax.export artifacts here and exit")
+    args = parser.parse_args(argv)
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+
+    buckets = None
+    if args.buckets:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = TTSEngine(
+        args.load_name, args.hp_file, epoch=args.epoch,
+        batch_size=args.batch_size, frames_per_phone=args.frames_per_phone,
+        text_buckets=buckets)
+
+    if args.export:
+        manifest = engine.export(args.export)
+        print(json.dumps(manifest, indent=2))
+        return
+
+    print("warming up (AOT compile per bucket)...", flush=True)
+    times = engine.warmup()
+    for b, s in times.items():
+        print(f"  bucket {b:4d}: {s:6.1f} s "
+              f"(max_frames {engine.max_frames_for(b)})", flush=True)
+
+    from transformer_tts_tpu.infer.server import TTSServer
+    server = TTSServer(engine, host=args.host, port=args.port,
+                       batch_window_ms=args.batch_window_ms)
+    print(f"serving on http://{args.host}:{server.port}  "
+          f"(batch {engine.batch_size}, buckets {engine.text_buckets})",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

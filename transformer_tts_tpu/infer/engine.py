@@ -1,0 +1,183 @@
+"""Production serving engine: bucketed AOT compilation + batched synthesis.
+
+Beyond-reference capability (the reference's synthesis CLIs are batch-1
+scripts that jit on first use — test_fastspeech2.py:146-204). For serving,
+shape surprises at request time are unacceptable, so the engine:
+
+* restricts request shapes to the configured static buckets
+  (hp.text_buckets x one mel budget per bucket) — the same
+  recompile-avoidance contract the training data layer uses;
+* ahead-of-time compiles every (batch, text_bucket) signature at startup
+  (``warmup()``), so the first request is as fast as the thousandth;
+* serves batched: requests are grouped per bucket and padded to the
+  engine batch size, amortizing dispatch overhead across utterances;
+* can ``export()`` each compiled signature as a serialized
+  ``jax.export`` StableHLO artifact + manifest — a deployable unit that a
+  serving binary can load without Python model code.
+
+The NAR FastSpeech2 path is the serving path (single forward, static
+shapes). AR models stay on the CLI/offline path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class TTSEngine:
+    def __init__(self, load_dir: str, hp_file: Optional[str] = None, *,
+                 epoch: Optional[int] = None, batch_size: int = 8,
+                 frames_per_phone: int = 8,
+                 text_buckets: Optional[Sequence[int]] = None):
+        import jax
+        import jax.numpy as jnp
+        from transformer_tts_tpu.config import is_nar_model, load_hparams
+        from transformer_tts_tpu.data.readers import Normalizer
+        from transformer_tts_tpu.train import checkpoint as ckpt
+        from transformer_tts_tpu.train.trainer import init_fastspeech2_state
+
+        if os.path.basename(load_dir).startswith(("epoch_", "average_")):
+            hp_dir = os.path.dirname(load_dir)
+        else:
+            hp_dir = load_dir
+        hp = load_hparams(hp_file or os.path.join(hp_dir, "hparams.py"))
+        if not is_nar_model(hp.model):
+            raise ValueError(
+                "TTSEngine serves the NAR FastSpeech2 family; "
+                f"hp.model={hp.model!r} is autoregressive")
+        self.hp = hp
+        self.batch_size = int(batch_size)
+        self.frames_per_phone = int(frames_per_phone)
+        self.text_buckets = tuple(sorted(text_buckets or hp.text_buckets))
+
+        rng = jax.random.PRNGKey(0)
+        model, state = init_fastspeech2_state(hp, rng)
+        params = ckpt.restore_params(load_dir, state.params, epoch=epoch)
+        self.model = model
+        self.variables = {"params": params,
+                          "batch_stats": state.batch_stats,
+                          "vq_stats": state.vq_stats}
+        mean, var = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim).arrays()
+        self._mean = jnp.asarray(mean) if mean is not None else None
+        self._var = jnp.asarray(var) if var is not None else None
+
+    # ---------------- shapes ----------------
+
+    def max_frames_for(self, text_bucket: int) -> int:
+        from transformer_tts_tpu.data.batching import pick_bucket
+        return pick_bucket(text_bucket * self.frames_per_phone,
+                           self.hp.length_buckets,
+                           multiple=self.hp.reduction_rate or 1)
+
+    def _bucket_of(self, n_phones: int) -> int:
+        from transformer_tts_tpu.data.batching import pick_bucket
+        return pick_bucket(n_phones, self.text_buckets)
+
+    # ---------------- compile / run ----------------
+
+    def warmup(self) -> dict:
+        """AOT-compile every (batch_size, text_bucket) signature.
+
+        Returns {bucket: compile_seconds}.
+        """
+        times = {}
+        for b in self.text_buckets:
+            t0 = time.time()
+            self._run_padded(np.ones((self.batch_size, b), np.int32),
+                             np.ones((self.batch_size, b), np.int32))
+            times[b] = time.time() - t0
+        return times
+
+    def _run_padded(self, text: np.ndarray, pos_text: np.ndarray,
+                    speaker: Optional[np.ndarray] = None):
+        import jax.numpy as jnp
+        from transformer_tts_tpu.infer.synthesize import (
+            synthesize_fastspeech2)
+        spk = None
+        if self.hp.is_multi_speaker and speaker is not None:
+            spk = jnp.asarray(speaker)
+        mel, mel_len, durations = synthesize_fastspeech2(
+            self.model, self.variables, jnp.asarray(text),
+            jnp.asarray(pos_text), self.max_frames_for(text.shape[1]),
+            spk, mean=self._mean, var=self._var)
+        return mel, mel_len, durations
+
+    def synthesize(self, texts: List[Sequence[int]],
+                   speakers: Optional[Sequence[int]] = None) -> List[dict]:
+        """Synthesize a list of token-id sequences.
+
+        Returns one dict per utterance:
+        ``{"mel": (T, mel_dim) float32, "durations": (L,) int32}`` with
+        padding trimmed.
+        """
+        out: List[Optional[dict]] = [None] * len(texts)
+        order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
+        for lo in range(0, len(order), self.batch_size):
+            idxs = order[lo: lo + self.batch_size]
+            bucket = self._bucket_of(max(len(texts[i]) for i in idxs))
+            bsz = self.batch_size
+            text = np.zeros((bsz, bucket), np.int32)
+            pos = np.zeros((bsz, bucket), np.int32)
+            for row, i in enumerate(idxs):
+                ids = np.asarray(texts[i], np.int32)
+                text[row, :len(ids)] = ids
+                pos[row, :len(ids)] = np.arange(1, len(ids) + 1)
+            spk = None
+            if speakers is not None:
+                spk = np.zeros((bsz,), np.int32)
+                for row, i in enumerate(idxs):
+                    spk[row] = speakers[i]
+            mel, mel_len, durations = self._run_padded(text, pos, spk)
+            mel = np.asarray(mel)
+            mel_len = np.asarray(mel_len)
+            durations = np.asarray(durations)
+            for row, i in enumerate(idxs):
+                n = len(texts[i])
+                out[i] = {"mel": mel[row, :int(mel_len[row])],
+                          "durations": durations[row, :n]}
+        return out  # type: ignore[return-value]
+
+    # ---------------- export ----------------
+
+    def export(self, out_dir: str) -> dict:
+        """Serialize one StableHLO artifact per text bucket.
+
+        Each artifact is a ``jax.export`` unit with the trained weights
+        baked in as constants; a loader needs only
+        ``jax.export.deserialize(bytes).call(text, pos_text)`` — no model
+        code. Returns the manifest dict (also written as manifest.json).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+        from transformer_tts_tpu.infer.synthesize import (
+            synthesize_fastspeech2)
+
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = {"model": self.hp.model, "mel_dim": self.hp.mel_dim,
+                    "batch_size": self.batch_size, "buckets": {}}
+        for bucket in self.text_buckets:
+            max_frames = self.max_frames_for(bucket)
+
+            def fn(text, pos_text, _mf=max_frames):
+                return synthesize_fastspeech2(
+                    self.model, self.variables, text, pos_text, _mf,
+                    mean=self._mean, var=self._var)
+
+            shape = jax.ShapeDtypeStruct(
+                (self.batch_size, bucket), jnp.int32)
+            exp = jexport.export(jax.jit(fn))(shape, shape)
+            name = f"fastspeech2_b{self.batch_size}_l{bucket}.stablehlo"
+            with open(os.path.join(out_dir, name), "wb") as fh:
+                fh.write(exp.serialize())
+            manifest["buckets"][str(bucket)] = {
+                "file": name, "max_frames": max_frames,
+                "platforms": list(exp.platforms)}
+        with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return manifest

@@ -1,0 +1,182 @@
+"""Micro-batching HTTP synthesis server (stdlib-only).
+
+Production-serving shape the reference lacks entirely (its test_*.py
+scripts are offline batch-1 loops). Concurrent requests are coalesced by
+a batcher thread into engine-sized batches (up to ``batch_window_ms`` of
+gathering), so throughput under load approaches the batched-forward rate
+while a lone request pays at most the window.
+
+API (JSON over HTTP):
+
+* ``POST /synthesize``  body ``{"text_ids": [int, ...]}`` or
+  ``{"batch": [[int, ...], ...]}``, optional ``"speaker"``/``"speakers"``.
+  Response: ``{"mel": [[...], ...], "mel_frames": T, "durations": [...],
+  "ms": wall}`` (or a ``"results"`` list for batch requests).
+* ``GET /healthz`` — engine status, buckets, compiled signatures.
+
+The batcher takes any callable with the ``TTSEngine.synthesize``
+signature, so the coalescing logic is unit-testable without a model.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+
+class _Pending:
+    __slots__ = ("text", "speaker", "event", "result", "error")
+
+    def __init__(self, text, speaker):
+        self.text = text
+        self.speaker = speaker
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single requests into batched synth calls."""
+
+    def __init__(self, synth_fn: Callable, batch_size: int,
+                 batch_window_ms: float = 5.0):
+        self._synth = synth_fn
+        self._batch = int(batch_size)
+        self._window = batch_window_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: Sequence[int],
+               speaker: Optional[int] = None) -> dict:
+        p = _Pending(list(text), speaker)
+        self._q.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)          # wake the loop
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            first = self._q.get()
+            if first is None:
+                continue
+            group = [first]
+            deadline = time.time() + self._window
+            while len(group) < self._batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                group.append(nxt)
+            try:
+                speakers = None
+                if any(p.speaker is not None for p in group):
+                    speakers = [p.speaker or 0 for p in group]
+                results = self._synth([p.text for p in group], speakers)
+                for p, r in zip(group, results):
+                    p.result = r
+                    p.event.set()
+            except Exception as e:           # noqa: BLE001 — report to caller
+                for p in group:
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+
+
+def _result_to_json(r: dict) -> dict:
+    mel = r["mel"]
+    return {
+        "mel": [[round(float(v), 5) for v in frame] for frame in mel],
+        "mel_frames": int(mel.shape[0]),
+        "durations": [int(d) for d in r["durations"]],
+    }
+
+
+class TTSServer:
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 batch_window_ms: float = 5.0):
+        self.engine = engine
+        self.batcher = MicroBatcher(engine.synthesize, engine.batch_size,
+                                    batch_window_ms)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):       # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {
+                        "ok": True,
+                        "model": server.engine.hp.model,
+                        "batch_size": server.engine.batch_size,
+                        "text_buckets": list(server.engine.text_buckets),
+                    })
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/synthesize":
+                    self._reply(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    t0 = time.time()
+                    if "batch" in req:
+                        results = server.engine.synthesize(
+                            req["batch"], req.get("speakers"))
+                        payload = {
+                            "results": [_result_to_json(r)
+                                        for r in results],
+                            "ms": round((time.time() - t0) * 1000, 2)}
+                    else:
+                        r = server.batcher.submit(req["text_ids"],
+                                                  req.get("speaker"))
+                        payload = _result_to_json(r)
+                        payload["ms"] = round((time.time() - t0) * 1000, 2)
+                    self._reply(200, payload)
+                except Exception as e:       # noqa: BLE001 — HTTP boundary
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._serve_thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._serve_thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=5)
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
