@@ -33,7 +33,12 @@ Backward: FlashAttention-2 style Pallas kernels — a dq kernel
 k-blocks, streaming q), both recomputing probabilities from the saved
 row logsumexp; ``delta = rowsum(dO * O)`` is a cheap XLA reduction.
 
-Default blocks: q 256, k 512 (MXU-aligned, VMEM-sized for d<=128).
+Default blocks: q 256, k 1024 (MXU-aligned, VMEM-sized for d<=128; the
+r2 on-chip (block_q, block_k) sweep at B=32 H=4 T=1024 d=96 fwd+bwd
+dropout: (256,1024) 3.51 ms vs (256,512) 4.21 ms vs (128,256) 8.0 ms —
+a full-row k block eliminates the running-softmax rescale passes at the
+bucket lengths this framework trains on; longer sequences fall back to
+streaming k blocks automatically).
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
