@@ -1,0 +1,143 @@
+"""Duration extraction from a trained AR teacher's cross-attention.
+
+``python -m transformer_tts_tpu.cli.extract_durations \
+      --load_name <transformer_ckpt_dir> [--script train.txt]``
+
+Completes the in-framework FastSpeech2 pipeline: the reference (like
+most FS2 codebases) assumes ``*_alignment.npy`` duration siblings already
+exist from an external aligner and never shows how to produce them. This
+is the canonical FastSpeech recipe instead (Ren et al. 2019 §3.3): run
+the trained autoregressive Transformer-TTS teacher-forced over the
+corpus, pick the most diagonal cross-attention head by focus rate
+``F = mean_t max_l A[t, l]``, and set each phone's duration to the
+number of mel frames whose attention argmax lands on it. Durations are
+scaled by the teacher's reduction rate and adjusted so each utterance's
+durations sum exactly to its (unpadded) mel frame count — the invariant
+the FS2 data layer and length regulator rely on.
+
+Writes ``<mel_stem>_alignment.npy`` next to each mel (or under
+``--out_dir``), after which the same script file trains FastSpeech2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def durations_from_attention(attn: np.ndarray, n_phones: int,
+                             n_frames: int, r: int) -> np.ndarray:
+    """(layers, H, T_q, L) cross-attention -> (n_phones,) int durations.
+
+    Head choice: highest focus rate over the valid (T_q_valid, n_phones)
+    block. Count argmax hits per phone over valid query positions; each
+    query covers ``r`` output frames; fix the rounding remainder on the
+    last attended phone so ``sum == n_frames``.
+    """
+    t_q_valid = max((n_frames + r - 1) // r, 1)
+    a = attn[:, :, :t_q_valid, :n_phones]         # (layers, H, t_q, L)
+    focus = a.max(axis=-1).mean(axis=-1)          # (layers, H)
+    li, hi = np.unravel_index(np.argmax(focus), focus.shape)
+    best = a[li, hi]                              # (t_q, L)
+    hits = best.argmax(axis=-1)                   # (t_q,)
+    durations = np.bincount(hits, minlength=n_phones).astype(np.int64) * r
+    excess = int(durations.sum()) - n_frames
+    # walk from the last phone, trimming (or padding) the tail
+    i = n_phones - 1
+    while excess > 0 and i >= 0:
+        cut = min(excess, int(durations[i]))
+        durations[i] -= cut
+        excess -= cut
+        i -= 1
+    if excess < 0:
+        durations[hits[-1] if len(hits) else n_phones - 1] += -excess
+    return durations.astype(np.int32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_name", type=str, required=True,
+                        help="trained AR Transformer-TTS checkpoint dir")
+    parser.add_argument("--hp_file", type=str, default=None)
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--script", type=str, default=None,
+                        help="corpus script (default hp.train_script)")
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="write here instead of next to the mels")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import is_nar_model, load_hparams
+    from transformer_tts_tpu.data import TTSDataset, collate
+    from transformer_tts_tpu.ops.masks import create_masks
+    from transformer_tts_tpu.train import checkpoint as ckpt
+    from transformer_tts_tpu.train.trainer import init_transformer_state
+
+    load_dir = args.load_name
+    hp_dir = os.path.dirname(load_dir) if os.path.basename(
+        load_dir).startswith(("epoch_", "average_")) else load_dir
+    hp = load_hparams(args.hp_file or os.path.join(hp_dir, "hparams.py"))
+    if is_nar_model(hp.model):
+        raise SystemExit("extract_durations needs an AR Transformer-TTS "
+                         f"teacher; snapshot has model={hp.model!r}")
+    if args.script:
+        hp.train_script = args.script
+
+    rng = jax.random.PRNGKey(0)
+    model, state = init_transformer_state(hp, rng)
+    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    r = model.reduction_rate
+
+    @jax.jit
+    def teacher_attn(text, pos_text, mel, pos_mel, spk_emb=None):
+        if r > 1:
+            mel_input = mel[:, :-r:r, :]              # train.py:186
+            pos_in = pos_mel[:, :-r:r]
+        else:
+            mel_input = mel[:, :-1, :]
+            pos_in = pos_mel[:, :-1]
+        src_mask, trg_mask = create_masks(pos_text, pos_in,
+                                          model="transformer")
+        out = model.apply(variables, text, mel_input, src_mask, trg_mask,
+                          spk_emb, train=False, collect_attn=True)
+        return out.attn_dec_enc                       # (B, layers, H, T, L)
+
+    # no variance targets needed (and the alignment siblings are exactly
+    # what this tool is about to create)
+    dataset = TTSDataset(hp.train_script, hp, alignment_pred=False,
+                         pitch_pred=False, energy_pred=False)
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        batch = collate([sample], hp, pad_batch=False)
+        attn = teacher_attn(
+            jnp.asarray(batch["text"]), jnp.asarray(batch["pos_text"]),
+            jnp.asarray(batch["mel"]), jnp.asarray(batch["pos_mel"]),
+            jnp.asarray(batch["spk_emb"]) if "spk_emb" in batch else None)
+        n_phones = int(batch["text_length"][0])
+        # the FS2-side mel is the original file: its frame count is the
+        # AR sample's array minus the prepended go frame (the collated
+        # mel_length is r-rounded and can't recover it exactly)
+        n_frames = sample["mel"].shape[0] - 1
+        durations = durations_from_attention(
+            np.asarray(attn[0]), n_phones, n_frames, r)
+        src = sample["mel_name"]
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            dest = os.path.join(
+                args.out_dir,
+                os.path.basename(src).replace(".npy", "_alignment.npy"))
+        else:
+            dest = src.replace(".npy", "_alignment.npy")
+        np.save(dest, durations)
+        print(f"save {dest} (sum={int(durations.sum())}, "
+              f"frames={n_frames})")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
