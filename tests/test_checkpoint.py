@@ -46,6 +46,27 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_async_save_survives_donated_buffers(tmp_path):
+    """block=False snapshots to host before the buffers are reused."""
+    from transformer_tts_tpu.train.checkpoint import wait_for_saves
+    _, state = small_state()
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+    expect = jax.device_get(state.params)
+    save_checkpoint(str(tmp_path), state, epoch=1, block=False)
+    # clobber the live state as a donated next-step would
+    state = state.replace(params=jax.tree.map(
+        lambda x: x * 0 + 99.0 if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, state.params))
+    jax.block_until_ready(state.params)
+    wait_for_saves()
+    _, fresh = small_state()
+    restored, epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert epoch == 1
+    for x, y in zip(jax.tree.leaves(expect),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_average_checkpoints(tmp_path):
     _, state = small_state()
     ones = jax.tree.map(jnp.ones_like, state.params)

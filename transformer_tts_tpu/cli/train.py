@@ -212,9 +212,12 @@ def main(argv=None):
             pending = None
         if jax.process_index() == 0:
             if ckpt.should_save(epoch + 1, hp.max_epoch, hp.save_per_epoch):
+                # async: host-snapshot now, write to disk while the next
+                # epoch trains (wait_for_saves below before exiting)
                 ckpt.save_checkpoint(
                     hp.save_dir, state, epoch + 1,
-                    with_optimizer=(epoch + 1) % hp.save_per_epoch == 0)
+                    with_optimizer=(epoch + 1) % hp.save_per_epoch == 0,
+                    block=False)
         print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
         if stop_requested["flag"]:
             if jax.process_index() == 0:
@@ -227,6 +230,7 @@ def main(argv=None):
         from transformer_tts_tpu.utils import stop_profiler
         stop_profiler()
     metrics.close()
+    ckpt.wait_for_saves()
     print("training finished")
 
 

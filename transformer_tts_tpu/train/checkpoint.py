@@ -59,10 +59,37 @@ def should_save(epoch: int, max_epoch: int, save_per_epoch: int) -> bool:
     return m >= save_per_epoch - 10 or m == 0
 
 
+_ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has committed to disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(save_dir: str, state, epoch: int, *,
-                    with_optimizer: bool = True) -> str:
-    """Save TrainState for ``epoch`` (1-based)."""
+                    with_optimizer: bool = True,
+                    block: bool = True) -> str:
+    """Save TrainState for ``epoch`` (1-based).
+
+    ``block=False`` overlaps the disk write with the next epoch's
+    training: the payload is snapshotted to HOST memory synchronously
+    first (the train step donates the device buffers, so orbax must not
+    read them after this call returns), then serialized/written by
+    orbax's async machinery. Call :func:`wait_for_saves` before exiting
+    or restoring.
+    """
     path = _epoch_dir(save_dir, epoch)
+    ckptr = _async_ckptr()
+    ckptr.wait_until_finished()            # one in-flight save at a time
     if os.path.exists(path):
         shutil.rmtree(path)
     payload = {
@@ -74,9 +101,11 @@ def save_checkpoint(save_dir: str, state, epoch: int, *,
     }
     if with_optimizer:
         payload["opt_state"] = state.opt_state
-    ckptr = ocp.StandardCheckpointer()
+    if not block:
+        payload = jax.device_get(payload)  # decouple from donated buffers
     ckptr.save(path, payload)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -87,6 +116,7 @@ def restore_checkpoint(save_dir: str, state, epoch: Optional[int] = None):
     template's fresh optimizer — same as the reference, which can only
     resume the optimizer from save_per_epoch multiples.
     """
+    wait_for_saves()                       # don't race an in-flight save
     epochs = list_epochs(save_dir)
     if not epochs:
         raise FileNotFoundError(f"no checkpoints under {save_dir}")
@@ -118,6 +148,7 @@ def restore_checkpoint(save_dir: str, state, epoch: Optional[int] = None):
 def restore_params(path_or_dir: str, params_template,
                    epoch: Optional[int] = None):
     """Params-only restore (pretrain loading / synthesis)."""
+    wait_for_saves()
     path = path_or_dir
     if epoch is not None or not os.path.basename(
             path_or_dir).startswith(("epoch_", "average_")):
