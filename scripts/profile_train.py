@@ -97,6 +97,8 @@ VARIANTS = {
     "donate": ("donated state buffers", {}),
     "enck1": ("encoder ff kernel 5->1", dict(
         ff_conv_kernel_size_encoder=1)),
+    "conformer": ("conformer enc+dec (relative MHA)", dict(
+        encoder_type="conformer", decoder_type="conformer")),
 }
 
 

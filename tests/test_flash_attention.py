@@ -153,3 +153,103 @@ def test_dropout_backward_consistent_with_forward():
     analytic = jnp.sum(g * direction)
     np.testing.assert_allclose(float(fd), float(analytic),
                                rtol=2e-2, atol=2e-2)
+
+
+# ---------------- bias (relative-attention core) variant ----------------
+
+def _oracle_bias(q, k, v, bias, k_len):
+    d_k = q.shape[-1]
+    s = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32)
+         + bias.astype(jnp.float32)) / jnp.sqrt(jnp.float32(d_k))
+    mask = (jnp.arange(k.shape[2])[None, :]
+            < k_len[:, None])[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(mask.any(-1, keepdims=True), p, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def test_flash_bias_matches_oracle():
+    from transformer_tts_tpu.ops.flash_attention import (
+        flash_attention_with_bias)
+    q, k, v = rand_qkv(3)
+    rs = np.random.RandomState(4)
+    bias = jnp.asarray(rs.randn(2, 2, 64, 64).astype(np.float32))
+    k_len = jnp.array([64, 33], jnp.int32)
+    out = flash_attention_with_bias(q, k, v, bias, k_len,
+                                    block_q=32, block_k=32,
+                                    interpret=True)
+    ref = _oracle_bias(q, k, v, bias, k_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bias_gradients_match_oracle():
+    from transformer_tts_tpu.ops.flash_attention import (
+        flash_attention_with_bias)
+    q, k, v = rand_qkv(5, t_q=48, t_k=48)
+    rs = np.random.RandomState(6)
+    bias = jnp.asarray(rs.randn(2, 2, 48, 48).astype(np.float32))
+    k_len = jnp.array([48, 29], jnp.int32)
+    w = jnp.asarray(rs.randn(2, 2, 48, 32).astype(np.float32))
+
+    def loss_flash(q, k, v, bias):
+        o = flash_attention_with_bias(q, k, v, bias, k_len, block_q=16,
+                                      block_k=16, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_oracle_bias(q, k, v, bias, k_len) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("q k v bias".split(), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_relative_mha_flash_path_matches_jnp():
+    """The conformer attention flash path == the jnp path (fp32, no
+    dropout), exercised end-to-end through the module."""
+    from unittest import mock
+    from transformer_tts_tpu.ops.attention import (
+        RelativeMultiHeadAttention)
+    from transformer_tts_tpu.ops import attention as A
+
+    rs = np.random.RandomState(0)
+    b, t, d, h = 2, 64, 32, 2
+    x = jnp.asarray(rs.randn(b, t, d).astype(np.float32))
+    pos = jnp.asarray(rs.randn(1, t, d).astype(np.float32))
+    k_len = jnp.array([t, 37], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < k_len[:, None])[:, None, :]
+
+    mod = RelativeMultiHeadAttention(heads=h, d_model=d, dropout=0.0,
+                                     use_flash=True)
+    variables = mod.init(jax.random.PRNGKey(0), x, x, x, pos, mask,
+                         train=False)
+
+    ref_out, _ = mod.apply(variables, x, x, x, pos, mask, train=False)
+
+    # force the flash branch on CPU: interpret-mode kernel, no backend
+    # or length gating
+    import transformer_tts_tpu.ops.flash_attention as F
+    real = F.flash_attention_with_bias
+
+    def interp(qq, kk, vv, bb, kl, **kw):
+        kw["interpret"] = True
+        return real(qq, kk, vv, bb, kl, **kw)
+
+    with mock.patch.object(A, "FLASH_MIN_KEY_LEN", 1), \
+            mock.patch.object(jax, "default_backend",
+                              lambda: "tpu"), \
+            mock.patch.object(F, "flash_attention_with_bias", interp):
+        flash_out, _ = mod.apply(variables, x, x, x, pos, mask,
+                                 train=False, k_len=k_len)
+
+    # compare only valid query rows (masked rows: uniform-avg vs 0)
+    valid = np.asarray(mask[:, 0, :])
+    np.testing.assert_allclose(
+        np.asarray(flash_out)[valid], np.asarray(ref_out)[valid],
+        rtol=2e-4, atol=2e-4)

@@ -114,6 +114,7 @@ class ConformerEncoder(nn.Module):
     embedding: bool = True
     accent_emb: bool = False
     n_accents: int = 13      # encoder.py:138
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,15 +128,18 @@ class ConformerEncoder(nn.Module):
         x, pos_emb = RelativePositionalEncoder(
             self.d_model, self.dropout, dtype=self.dtype, name="pe",
         )(x, train=train)
+        k_len = (mask[:, 0, :].sum(-1).astype(jnp.int32)
+                 if (self.use_flash and mask is not None) else None)
         attns = []
         for i in range(self.n_layers):
             x, attn = ConformerEncoderLayer(
                 d_model=self.d_model, heads=self.heads,
                 ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
-                spk_emb_dim=self.spk_emb_dim, dtype=self.dtype,
+                spk_emb_dim=self.spk_emb_dim, use_flash=self.use_flash,
+                dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, pos_emb, mask, spk_emb, train=train,
-              collect_attn=collect_attn)
+              collect_attn=collect_attn, k_len=k_len)
             if collect_attn:
                 attns.append(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)

@@ -58,7 +58,6 @@ class FastSpeech2Output(NamedTuple):
 def _stack(encoder_type: str, **kw):
     if encoder_type.lower() == "conformer":
         kw.pop("concat_after", None)
-        kw.pop("use_flash", None)   # conformer uses relative attention
         return ConformerEncoder(**kw)
     return Encoder(**kw)
 

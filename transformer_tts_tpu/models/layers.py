@@ -92,11 +92,12 @@ class ConformerEncoderLayer(nn.Module):
     ff_kernel_size: int
     dropout: float = 0.1
     spk_emb_dim: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, spk_emb=None, *, train: bool = True,
-                 collect_attn: bool = False):
+                 collect_attn: bool = False, k_len=None):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         x = x + 0.5 * ConformerFeedForward(
             self.d_model, self.d_model * 2, self.dropout,
@@ -108,8 +109,9 @@ class ConformerEncoderLayer(nn.Module):
             name="conv_module")(h, train=train)
         out, attn = RelativeMultiHeadAttention(
             heads=self.heads, d_model=self.d_model, dropout=self.dropout,
-            dtype=self.dtype, name="attn",
-        )(h, h, h, pos_emb, mask, train=train, collect_attn=collect_attn)
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
+        )(h, h, h, pos_emb, mask, train=train, collect_attn=collect_attn,
+          k_len=k_len)
         x = res + drop(out)
         if self.spk_emb_dim is not None and spk_emb is not None:
             # layers.py:77-79 adds the raw embedding (no softsign here)

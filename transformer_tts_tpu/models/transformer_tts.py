@@ -92,7 +92,8 @@ class TransformerTTS(nn.Module):
             dropout=self.dropout, spk_emb_dim=enc_spk, embedding=True,
             dtype=self.dtype)
         if self.encoder_type.lower() == "conformer":
-            self.encoder = ConformerEncoder(**common)
+            self.encoder = ConformerEncoder(use_flash=self.use_flash,
+                                            **common)
         else:
             self.encoder = Encoder(concat_after=self.concat_after_encoder,
                                    use_flash=self.use_flash, **common)

@@ -205,15 +205,27 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class RelativeMultiHeadAttention(nn.Module):
-    """Transformer-XL style relative MHA (Models/modules.py:201-283)."""
+    """Transformer-XL style relative MHA (Models/modules.py:201-283).
+
+    ``use_flash``: dispatch the softmax/dropout/PV core to the Pallas
+    kernel with the rel-shifted position scores streamed in as an
+    additive-bias input (``flash_attention_with_bias``). The (ac+bd)
+    logits math is identical to the jnp path; the (B,H,T,T) fp32
+    probabilities, the softmax temporaries, and the dropout mask are
+    never materialized in HBM (the bias itself is, in bf16 — the rel
+    term has no blockwise-computable form under the reference's
+    rel_shift semantics).
+    """
     heads: int
     d_model: int
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, pos_emb, mask=None, *,
-                 train: bool = True, collect_attn: bool = False):
+                 train: bool = True, collect_attn: bool = False,
+                 k_len: Optional[jnp.ndarray] = None):
         d_k = self.d_model // self.heads
         b = q_in.shape[0]
         dense = lambda name, **kw: nn.Dense(  # noqa: E731
@@ -236,18 +248,41 @@ class RelativeMultiHeadAttention(nn.Module):
         q_u = (q + pos_bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)
         q_v = (q + pos_bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
 
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = rel_shift(matrix_bd)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.float32(d_k))
+        dropout_active = train and self.dropout > 0.0
+        flash_ok = (self.use_flash and not collect_attn
+                    and k_len is not None
+                    and k.shape[2] >= FLASH_MIN_KEY_LEN
+                    and jax.default_backend() != "cpu")
+        if flash_ok:
+            from transformer_tts_tpu.ops.flash_attention import (
+                flash_attention_with_bias)
+            bias = rel_shift(jnp.einsum(
+                "bhqd,bhkd->bhqk", q_v, p,
+                preferred_element_type=jnp.float32).astype(self.dtype))
+            seed = None
+            if dropout_active:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
+            context = flash_attention_with_bias(
+                q_u, k, v, bias, k_len,
+                dropout_rate=self.dropout if dropout_active else 0.0,
+                dropout_seed=seed)
+            probs = None
+        else:
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
+                                   preferred_element_type=jnp.float32)
+            matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p,
+                                   preferred_element_type=jnp.float32)
+            matrix_bd = rel_shift(matrix_bd)
+            scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.float32(d_k))
 
-        if mask is not None:
-            scores = jnp.where(mask[:, None, :, :], scores, NEG_FILL_REL)
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
-        context = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, :, :], scores,
+                                   NEG_FILL_REL)
+            probs = nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+            context = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
         concat = context.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(concat)

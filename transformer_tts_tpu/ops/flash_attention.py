@@ -87,9 +87,9 @@ def _keep_mask(seed, bh, q_offset, k_offset, shape, dropout_rate: float):
     return keep.astype(jnp.float32) / (1.0 - dropout_rate)
 
 
-def _fwd_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *,
-                causal: bool, sm_scale: float, dropout_rate: float):
+def _fwd_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, *rest,
+                causal: bool, sm_scale: float, dropout_rate: float,
+                has_bias: bool = False):
     """Grid: (B*H, num_q_blocks, num_k_blocks) — k innermost.
 
     K/V arrive as (1, block_k, d) blocks via BlockSpec (Pallas
@@ -97,7 +97,16 @@ def _fwd_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     max/sum and the (dropped) output accumulator live in VMEM scratch,
     persisting across the k grid dimension. Matmuls run in the input
     dtype (bf16 under amp) with fp32 accumulation.
+
+    ``has_bias``: an extra (1, block_q, block_k) additive-logits block
+    (the relative-position term, added BEFORE the sm_scale like the
+    reference's (ac+bd)/sqrt(dk) — Models/modules.py:254).
     """
+    if has_bias:
+        bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        bias_ref = None
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -120,6 +129,8 @@ def _fwd_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (bq, bk) fp32
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         s = s * sm_scale
 
         col = k_offset + jax.lax.broadcasted_iota(
@@ -178,11 +189,21 @@ def _pad_seqs(q, k, v, block_q, block_k):
     return q, k, v, block_q, block_k
 
 
+def _pad_bias(bias, t_q, t_k):
+    if bias is None:
+        return None
+    pq, pk = t_q - bias.shape[2], t_k - bias.shape[3]
+    if pq or pk:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pq), (0, pk)))
+    return bias
+
+
 def _flash_fwd(q, k, v, k_len, *, causal, sm_scale, dropout_rate, seed,
-               block_q, block_k, interpret):
+               block_q, block_k, interpret, bias=None):
     b, h, t_q_orig, d = q.shape
     q, k, v, block_q, block_k = _pad_seqs(q, k, v, block_q, block_k)
     t_q, t_k = q.shape[2], k.shape[2]
+    bias = _pad_bias(bias, t_q, t_k)
 
     bh = b * h
     q_r = q.reshape(bh, t_q, d)
@@ -191,21 +212,29 @@ def _flash_fwd(q, k, v, k_len, *, causal, sm_scale, dropout_rate, seed,
     k_len_bh = jnp.repeat(k_len.astype(jnp.int32), h)    # (B*H,)
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, qi, ki, *_: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, *_: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, *_: (bh, ki, 0)),
+    ]
+    inputs = [k_len_bh, seed_arr, q_r, k_r, v_r]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, qi, ki, *_: (bh, qi, ki)))
+        inputs.append(bias.reshape(bh, t_q, t_k))
+
     grid = (bh, pl.cdiv(t_q, block_q), pl.cdiv(t_k, block_k))
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate,
+                          has_bias=bias is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, qi, ki, *_: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, *_: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, *_: (bh, ki, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, block_q, d),
                              lambda bh, qi, ki, *_: (bh, qi, 0)),
@@ -226,20 +255,28 @@ def _flash_fwd(q, k, v, k_len, *, causal, sm_scale, dropout_rate, seed,
             jax.ShapeDtypeStruct((bh, 1, t_q), jnp.float32),
         ],
         interpret=interpret,
-    )(k_len_bh, seed_arr, q_r, k_r, v_r)
+    )(*inputs)
     out = out.reshape(b, h, t_q, d)[:, :, :t_q_orig, :]
     lse = lse.reshape(b, h, t_q)[:, :, :t_q_orig]
     return out, lse
 
 
 def _dq_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-               delta_ref, dq_out_ref, dq_acc_ref, *,
-               causal: bool, sm_scale: float, dropout_rate: float):
+               delta_ref, *rest, causal: bool, sm_scale: float,
+               dropout_rate: float, has_bias: bool = False):
     """Grid: (B*H, num_q_blocks, num_k_blocks) — accumulate dq over k.
 
     dS = P * (mask/keep * (dO K V^T-term) - delta); dq = dS @ K * scale.
-    P is recomputed from the saved logsumexp.
+    P is recomputed from the saved logsumexp. With ``has_bias`` the
+    recompute adds the bias block, and dS (the gradient of the pre-scale
+    logits, identical for the QK^T and bias terms) is also written out
+    as the dbias block for this (qi, ki) tile.
     """
+    if has_bias:
+        bias_ref, dq_out_ref, dbias_out_ref, dq_acc_ref = rest
+    else:
+        bias_ref = dbias_out_ref = None
+        dq_out_ref, dq_acc_ref = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -255,10 +292,13 @@ def _dq_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     q_offset = qi * block_q
     k_offset = ki * block_k
 
-    def _update():
+    def _compute_ds():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        s = s * sm_scale
         col = k_offset + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < k_len
@@ -274,12 +314,22 @@ def _dq_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         if dropout_rate > 0.0:
             dp = dp * _keep_mask(seed_ref[0], bh, q_offset, k_offset,
                                  (block_q, block_k), dropout_rate)
-        ds = p * (dp - delta_ref[0, 0][:, None]) * sm_scale
+        return p * (dp - delta_ref[0, 0][:, None]) * sm_scale
+
+    def _update():
+        ds = _compute_ds()
+        if dbias_out_ref is not None:
+            dbias_out_ref[0] = ds.astype(dbias_out_ref.dtype)
         dq_acc_ref[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if causal:
+        # skipped blocks still own an output tile: zero it
+        if dbias_out_ref is not None:
+            @pl.when(k_offset > q_offset + block_q - 1)
+            def _zero():
+                dbias_out_ref[0] = jnp.zeros_like(dbias_out_ref[0])
         pl.when(k_offset <= q_offset + block_q - 1)(_update)
     else:
         _update()
@@ -290,10 +340,15 @@ def _dq_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _dkdv_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
-                 lse_ref, delta_ref, dk_out_ref, dv_out_ref,
-                 dk_acc_ref, dv_acc_ref, *,
-                 causal: bool, sm_scale: float, dropout_rate: float):
+                 lse_ref, delta_ref, *rest,
+                 causal: bool, sm_scale: float, dropout_rate: float,
+                 has_bias: bool = False):
     """Grid: (B*H, num_k_blocks, num_q_blocks) — accumulate dk/dv over q."""
+    if has_bias:
+        bias_ref, dk_out_ref, dv_out_ref, dk_acc_ref, dv_acc_ref = rest
+    else:
+        bias_ref = None
+        dk_out_ref, dv_out_ref, dk_acc_ref, dv_acc_ref = rest
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -313,7 +368,10 @@ def _dkdv_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
     def _update():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        s = s * sm_scale
         col = k_offset + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < k_len
@@ -355,7 +413,8 @@ def _dkdv_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
-               dropout_rate, seed, block_q, block_k, interpret):
+               dropout_rate, seed, block_q, block_k, interpret,
+               bias=None):
     b, h, t_q_orig, d = q.shape
     t_k_orig = k.shape[2]
     # delta = rowsum(dO * O): cheap elementwise XLA reduction
@@ -364,6 +423,7 @@ def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
 
     q, k, v, block_q, block_k = _pad_seqs(q, k, v, block_q, block_k)
     t_q, t_k = q.shape[2], k.shape[2]
+    bias = _pad_bias(bias, t_q, t_k)
     if t_q != t_q_orig:
         pad = ((0, 0), (0, 0), (0, t_q - t_q_orig))
         g = jnp.pad(g, pad + ((0, 0),))
@@ -382,57 +442,84 @@ def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
     delta_r = delta.reshape(bh, 1, t_q)
     k_len_bh = jnp.repeat(k_len.astype(jnp.int32), h)
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
+    bias_r = bias.reshape(bh, t_q, t_k) if bias is not None else None
 
     n_q, n_k = pl.cdiv(t_q, block_q), pl.cdiv(t_k, block_k)
+    has_bias = bias is not None
 
-    dq = pl.pallas_call(
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, qi, ki, *_: (bh, qi, 0)),   # q
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, *_: (bh, ki, 0)),   # k
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, *_: (bh, ki, 0)),   # v
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, qi, ki, *_: (bh, qi, 0)),   # dO
+        pl.BlockSpec((1, 1, block_q),
+                     lambda bh, qi, ki, *_: (bh, 0, qi)),   # lse
+        pl.BlockSpec((1, 1, block_q),
+                     lambda bh, qi, ki, *_: (bh, 0, qi)),   # delta
+    ]
+    dq_inputs = [k_len_bh, seed_arr, q_r, k_r, v_r, do_r, lse_r, delta_r]
+    dq_out_specs = pl.BlockSpec((1, block_q, d),
+                                lambda bh, qi, ki, *_: (bh, qi, 0))
+    dq_out_shape = jax.ShapeDtypeStruct((bh, t_q, d), q.dtype)
+    if has_bias:
+        dq_in_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, qi, ki, *_: (bh, qi, ki)))
+        dq_inputs.append(bias_r)
+        dq_out_specs = [dq_out_specs, pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, qi, ki, *_: (bh, qi, ki))]
+        dq_out_shape = [dq_out_shape,
+                        jax.ShapeDtypeStruct((bh, t_q, t_k), bias.dtype)]
+
+    dq_res = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, has_bias=has_bias),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh, n_q, n_k),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, qi, ki, *_: (bh, qi, 0)),   # q
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, *_: (bh, ki, 0)),   # k
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, *_: (bh, ki, 0)),   # v
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, qi, ki, *_: (bh, qi, 0)),   # dO
-                pl.BlockSpec((1, 1, block_q),
-                             lambda bh, qi, ki, *_: (bh, 0, qi)),   # lse
-                pl.BlockSpec((1, 1, block_q),
-                             lambda bh, qi, ki, *_: (bh, 0, qi)),   # delta
-            ],
-            out_specs=pl.BlockSpec((1, block_q, d),
-                                   lambda bh, qi, ki, *_: (bh, qi, 0)),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_specs,
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, t_q, d), q.dtype),
+        out_shape=dq_out_shape,
         interpret=interpret,
-    )(k_len_bh, seed_arr, q_r, k_r, v_r, do_r, lse_r, delta_r)
+    )(*dq_inputs)
+    if has_bias:
+        dq, dbias = dq_res
+        dbias = dbias.reshape(b, h, t_q, t_k)[:, :, :t_q_orig, :t_k_orig]
+    else:
+        dq, dbias = dq_res, None
+
+    kv_in_specs = [
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, ki, qi, *_: (bh, qi, 0)),   # q
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, ki, qi, *_: (bh, ki, 0)),   # k
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, ki, qi, *_: (bh, ki, 0)),   # v
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, ki, qi, *_: (bh, qi, 0)),   # dO
+        pl.BlockSpec((1, 1, block_q),
+                     lambda bh, ki, qi, *_: (bh, 0, qi)),   # lse
+        pl.BlockSpec((1, 1, block_q),
+                     lambda bh, ki, qi, *_: (bh, 0, qi)),   # delta
+    ]
+    kv_inputs = [k_len_bh, seed_arr, q_r, k_r, v_r, do_r, lse_r, delta_r]
+    if has_bias:
+        kv_in_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, ki, qi, *_: (bh, qi, ki)))
+        kv_inputs.append(bias_r)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, causal=causal, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, has_bias=has_bias),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh, n_k, n_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, ki, qi, *_: (bh, qi, 0)),   # q
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, ki, qi, *_: (bh, ki, 0)),   # k
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, ki, qi, *_: (bh, ki, 0)),   # v
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, ki, qi, *_: (bh, qi, 0)),   # dO
-                pl.BlockSpec((1, 1, block_q),
-                             lambda bh, ki, qi, *_: (bh, 0, qi)),   # lse
-                pl.BlockSpec((1, 1, block_q),
-                             lambda bh, ki, qi, *_: (bh, 0, qi)),   # delta
-            ],
+            in_specs=kv_in_specs,
             out_specs=[
                 pl.BlockSpec((1, block_k, d),
                              lambda bh, ki, qi, *_: (bh, ki, 0)),
@@ -449,12 +536,12 @@ def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
             jax.ShapeDtypeStruct((bh, t_k, d), v.dtype),
         ],
         interpret=interpret,
-    )(k_len_bh, seed_arr, q_r, k_r, v_r, do_r, lse_r, delta_r)
+    )(*kv_inputs)
 
     dq = dq.reshape(b, h, t_q, d)[:, :, :t_q_orig, :]
     dk = dk.reshape(b, h, t_k, d)[:, :, :t_k_orig, :]
     dv = dv.reshape(b, h, t_k, d)[:, :, :t_k_orig, :]
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -479,7 +566,7 @@ def _flash_fwd_rule(q, k, v, k_len, seed, causal, sm_scale, dropout_rate,
 def _flash_bwd_rule(causal, sm_scale, dropout_rate, block_q, block_k,
                     interpret, residuals, g):
     q, k, v, k_len, seed, out, lse = residuals
-    dq, dk, dv = _flash_bwd(
+    dq, dk, dv, _ = _flash_bwd(
         q, k, v, k_len, out, lse, g, causal=causal, sm_scale=sm_scale,
         dropout_rate=dropout_rate, seed=seed,
         block_q=block_q, block_k=block_k, interpret=interpret)
@@ -487,6 +574,38 @@ def _flash_bwd_rule(causal, sm_scale, dropout_rate, block_q, block_k,
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_b(q, k, v, bias, k_len, seed, causal, sm_scale, dropout_rate,
+             block_q, block_k, interpret):
+    out, _ = _flash_fwd(q, k, v, k_len, causal=causal, sm_scale=sm_scale,
+                        dropout_rate=dropout_rate, seed=seed,
+                        block_q=block_q, block_k=block_k,
+                        interpret=interpret, bias=bias)
+    return out
+
+
+def _flash_b_fwd_rule(q, k, v, bias, k_len, seed, causal, sm_scale,
+                      dropout_rate, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, k_len, causal=causal, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate, seed=seed,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret, bias=bias)
+    return out, (q, k, v, bias, k_len, seed, out, lse)
+
+
+def _flash_b_bwd_rule(causal, sm_scale, dropout_rate, block_q, block_k,
+                      interpret, residuals, g):
+    q, k, v, bias, k_len, seed, out, lse = residuals
+    dq, dk, dv, dbias = _flash_bwd(
+        q, k, v, k_len, out, lse, g, causal=causal, sm_scale=sm_scale,
+        dropout_rate=dropout_rate, seed=seed,
+        block_q=block_q, block_k=block_k, interpret=interpret, bias=bias)
+    return dq, dk, dv, dbias.astype(bias.dtype), None, None
+
+
+_flash_b.defvjp(_flash_b_fwd_rule, _flash_b_bwd_rule)
 
 
 def flash_attention(q, k, v, k_len, *, causal=False, sm_scale=None,
@@ -514,6 +633,31 @@ def flash_attention(q, k, v, k_len, *, causal=False, sm_scale=None,
     return _flash(q, k, v, k_len, jnp.asarray(dropout_seed, jnp.int32),
                   causal, float(sm_scale), float(dropout_rate),
                   int(block_q), int(block_k), bool(interpret))
+
+
+def flash_attention_with_bias(q, k, v, bias, k_len, *, sm_scale=None,
+                              dropout_rate=0.0, dropout_seed=None,
+                              block_q=DEFAULT_BLOCK_Q,
+                              block_k=DEFAULT_BLOCK_K, interpret=False):
+    """softmax((QK^T + bias) * sm_scale, masked)V, bias-differentiable.
+
+    The relative-attention core (ops/attention.RelativeMultiHeadAttention
+    flash path): ``bias`` is the (B, H, T_q, T_k) additive logits term
+    (the rel-shifted position scores), added BEFORE the sm_scale exactly
+    like the reference's (ac + bd) / sqrt(d_k) (Models/modules.py:254).
+    The backward emits dbias (= the pre-scale logit gradient), so the
+    position projections upstream of the bias get exact gradients via
+    XLA autodiff. Masked keys are excluded exactly (vs the reference's
+    -2^15 fill); in-kernel prob dropout as in :func:`flash_attention`.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    return _flash_b(q, k, v, bias, k_len,
+                    jnp.asarray(dropout_seed, jnp.int32),
+                    False, float(sm_scale), float(dropout_rate),
+                    int(block_q), int(block_k), bool(interpret))
 
 
 def reference_attention(q, k, v, k_len, causal=False, sm_scale=None):
