@@ -128,8 +128,11 @@ class ConformerEncoder(nn.Module):
         x, pos_emb = RelativePositionalEncoder(
             self.d_model, self.dropout, dtype=self.dtype, name="pe",
         )(x, train=train)
+        # flash path needs prefix pad masks expressed as per-batch
+        # lengths; a (B, T, T) band mask (fix_mask) stays on the jnp path
         k_len = (mask[:, 0, :].sum(-1).astype(jnp.int32)
-                 if (self.use_flash and mask is not None) else None)
+                 if (self.use_flash and mask is not None
+                     and mask.shape[1] == 1) else None)
         attns = []
         for i in range(self.n_layers):
             x, attn = ConformerEncoderLayer(
