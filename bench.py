@@ -68,6 +68,9 @@ def _plausibility_guard(name, flops, seconds):
 
 
 def main():
+    from transformer_tts_tpu.bench_utils import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from transformer_tts_tpu.config import HParams

@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from transformer_tts_tpu.bench_utils import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from transformer_tts_tpu.bench_utils import slope_time

@@ -103,6 +103,9 @@ VARIANTS = {
 
 
 def main():
+    from transformer_tts_tpu.bench_utils import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     import jax
 
     names = sys.argv[1:] or list(VARIANTS)

@@ -21,6 +21,9 @@ FRAME_SECONDS = 256 / 22050.0
 
 
 def main():
+    from transformer_tts_tpu.bench_utils import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     import jax
     from transformer_tts_tpu.bench_utils import slope_time
     from transformer_tts_tpu.config import HParams

@@ -144,3 +144,19 @@ def test_engine_server_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(mel_x), np.asarray(mel_e),
                                atol=1e-5)
     assert int(len_x[0]) == int(len_e[0])
+
+
+def test_result_to_json_wav():
+    from transformer_tts_tpu.infer.server import _result_to_json
+    import base64, io, wave
+    rs = np.random.RandomState(0)
+    r = {"mel": rs.randn(40, 8).astype(np.float32),
+         "durations": np.ones(5, np.int32)}
+    out = _result_to_json(r, wav=True, mel_dim=8)
+    assert out["sample_rate"] == 22050
+    raw = base64.b64decode(out["wav_base64"])
+    with wave.open(io.BytesIO(raw)) as fh:
+        assert fh.getframerate() == 22050
+        assert fh.getnchannels() == 1
+        # 40 frames * 256 hop samples (+/- istft edge)
+        assert abs(fh.getnframes() - 40 * 256) < 1024

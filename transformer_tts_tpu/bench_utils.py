@@ -28,6 +28,25 @@ from typing import Callable, NamedTuple
 PEAK_TFLOPS = 197.0
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compile cache under the repo's .jax_cache.
+
+    The big train-step compiles dominate bench/script startup on this
+    1-core host; tests already share this cache (tests/conftest.py) —
+    scripts and bench.py call this to join it. Safe to call before or
+    after jax import, must be before first compilation.
+    """
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 class SlopeTiming(NamedTuple):
     per_iter: float       # median-slope seconds per iteration
     t1: float             # median wall time of a 1-iteration chain

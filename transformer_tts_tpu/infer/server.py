@@ -98,13 +98,38 @@ class MicroBatcher:
                     p.event.set()
 
 
-def _result_to_json(r: dict) -> dict:
+def _result_to_json(r: dict, *, wav: bool = False,
+                    mel_dim: int = 80, sample_rate: int = 22050,
+                    hop_length: int = 256) -> dict:
     mel = r["mel"]
-    return {
+    out = {
         "mel": [[round(float(v), 5) for v in frame] for frame in mel],
         "mel_frames": int(mel.shape[0]),
         "durations": [int(d) for d in r["durations"]],
     }
+    if wav and mel.shape[0] > 0:
+        # built-in Griffin-Lim fallback vocoder (no external model);
+        # 16-bit PCM WAV, base64 over JSON
+        import base64
+        import io
+        import wave as wave_mod
+        import jax.numpy as jnp
+        import numpy as np
+        from transformer_tts_tpu.ops.melspectrogram import (
+            griffin_lim_from_log_mel)
+        audio = np.asarray(griffin_lim_from_log_mel(
+            jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
+            hop_length=hop_length, n_mels=mel_dim))
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as fh:
+            fh.setnchannels(1)
+            fh.setsampwidth(2)
+            fh.setframerate(sample_rate)
+            fh.writeframes(pcm.tobytes())
+        out["wav_base64"] = base64.b64encode(buf.getvalue()).decode()
+        out["sample_rate"] = sample_rate
+    return out
 
 
 class TTSServer:
@@ -146,17 +171,19 @@ class TTSServer:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     t0 = time.time()
+                    jopts = dict(wav=bool(req.get("wav")),
+                                 mel_dim=server.engine.hp.mel_dim)
                     if "batch" in req:
                         results = server.engine.synthesize(
                             req["batch"], req.get("speakers"))
                         payload = {
-                            "results": [_result_to_json(r)
+                            "results": [_result_to_json(r, **jopts)
                                         for r in results],
                             "ms": round((time.time() - t0) * 1000, 2)}
                     else:
                         r = server.batcher.submit(req["text_ids"],
                                                   req.get("speaker"))
-                        payload = _result_to_json(r)
+                        payload = _result_to_json(r, **jopts)
                         payload["ms"] = round((time.time() - t0) * 1000, 2)
                     self._reply(200, payload)
                 except Exception as e:       # noqa: BLE001 — HTTP boundary

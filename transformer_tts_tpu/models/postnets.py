@@ -136,6 +136,7 @@ class PostLowEnergyv1(nn.Module):
     ff_kernel_size: int
     concat_after: bool = False
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,6 +146,7 @@ class PostLowEnergyv1(nn.Module):
             n_layers=self.n_layers, heads=self.heads,
             ff_kernel_size=self.ff_kernel_size,
             concat_after=self.concat_after, dropout=self.dropout,
+            use_flash=self.use_flash,
             embedding=False, dtype=self.dtype, name="encoder")
         e_outputs, _ = enc(src, src_mask, spk_emb, train=train)
         return nn.Dense(self.out_size, dtype=self.dtype, name="out")(e_outputs)
@@ -168,6 +170,7 @@ class PostLowEnergyv2(nn.Module):
     vq_code: bool = False
     post_conformer: bool = False
     intermediate_layers_out: Optional[tuple] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,6 +215,7 @@ class PostLowEnergyv2(nn.Module):
             vocab_size=enc_in_dim, d_model=self.d_model,
             n_layers=self.n_layers, heads=self.heads,
             ff_kernel_size=self.ff_kernel_size, dropout=self.dropout,
+            use_flash=self.use_flash,
             embedding=False, dtype=self.dtype, name="encoder")
         if not self.post_conformer:
             kwargs["concat_after"] = self.concat_after

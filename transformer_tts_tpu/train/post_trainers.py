@@ -45,7 +45,8 @@ def build_post_model(hp: HParams):
             d_model=hp.d_model_encoder, n_layers=hp.n_layer_post_model,
             heads=hp.n_head_encoder,
             ff_kernel_size=hp.ff_conv_kernel_size_post,
-            concat_after=hp.concat_after_post, dropout=hp.dropout)
+            concat_after=hp.concat_after_post, dropout=hp.dropout,
+            use_flash=hp.use_flash_attention)
     return PostLowEnergyv2(
         in_dim=hp.mel_dim, out_size=hp.mel_dim_post,
         d_model=hp.d_model_encoder, n_layers=hp.n_layer_post_model,
@@ -57,7 +58,8 @@ def build_post_model(hp: HParams):
         spk_emb_dim=hp.spk_emb_dim_postprocess,
         num_speakers=hp.num_speakers, vq_code=hp.vq_code,
         post_conformer=hp.post_conformer,
-        intermediate_layers_out=hp.intermediate_layers_out)
+        intermediate_layers_out=hp.intermediate_layers_out,
+        use_flash=hp.use_flash_attention)
 
 
 def init_post_state(hp: HParams, rng, teacher_model: FastSpeech2,

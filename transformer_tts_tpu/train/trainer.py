@@ -73,6 +73,7 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
             spk_emb_dim=hp.spk_emb_dim_postprocess,
             num_speakers=hp.num_speakers, vq_code=hp.vq_code,
             post_conformer=hp.post_conformer,
+            use_flash=hp.use_flash_attention,
             intermediate_layers_out=(
                 tuple(hp.intermediate_layers_out)
                 if hp.intermediate_layers_out else None))
