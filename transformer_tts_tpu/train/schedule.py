@@ -46,6 +46,78 @@ def epoch_decay_factor(epoch: int, lr_adjust_epoch,
     return decay ** over
 
 
+def reference_radam(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    degenerated_to_sgd: bool = True,
+) -> optax.GradientTransformation:
+    """Exact port of the reference's vendored RAdam (radam.py:5-93).
+
+    Differences vs ``optax.radam`` that this reproduces bit-for-bit
+    (test_torch_parity.py asserts step-by-step equality vs the torch
+    implementation):
+
+    * eps is added to ``sqrt(v)`` of the UNcorrected second moment; the
+      ``(1 - b2^t)`` bias correction is folded into the step size
+      (radam.py:84), so the effective eps scales with 1/sqrt(1-b2^t)
+      early in training;
+    * below the N_sma >= 5 rectification threshold the update
+      degenerates to momentum-SGD ``m / (1 - b1^t)`` (radam.py:74-77),
+      or to NO update when ``degenerated_to_sgd=False``;
+    * weight decay is applied to the parameter inside the same step
+      (radam.py:83-91), i.e. ``update -= lr * wd * p``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree.map(jnp.zeros_like, params),
+            "nu": jax.tree.map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], grads)
+        beta2_t = jnp.power(b2, t)
+        bias1 = 1.0 - jnp.power(b1, t)
+        n_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(
+            (1.0 - beta2_t) * (n_sma - 4.0) / (n_max - 4.0)
+            * (n_sma - 2.0) / n_sma * n_max / (n_max - 2.0)) / bias1
+        use_rect = n_sma >= 5.0
+        lr = (learning_rate(count) if callable(learning_rate)
+              else learning_rate)
+
+        def leaf_update(m, v, p):
+            adam = rect * m / (jnp.sqrt(v) + eps)
+            sgd = (m / bias1) if degenerated_to_sgd else jnp.zeros_like(m)
+            step = jnp.where(use_rect, adam, sgd)
+            if weight_decay != 0.0 and p is not None:
+                # wd applied only when a step is taken (radam.py:83-91)
+                took = use_rect | bool(degenerated_to_sgd)
+                step = step + jnp.where(took, weight_decay * p, 0.0)
+            return -lr * step
+
+        if params is None:
+            updates = jax.tree.map(
+                lambda m, v: leaf_update(m, v, None), mu, nu)
+        else:
+            updates = jax.tree.map(leaf_update, mu, nu, params)
+        return updates, {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     name: str,
     d_model: int,
@@ -64,7 +136,8 @@ def build_optimizer(
         chain.append(optax.adam(learning_rate=sched, b1=0.9, b2=0.98,
                                 eps=1e-9))
     elif name == "radam":
-        chain.append(optax.radam(learning_rate=learning_rate))
+        # exact reference semantics (vendored radam.py), not optax.radam
+        chain.append(reference_radam(learning_rate=learning_rate))
     elif name == "adamw":
         chain.append(optax.adamw(learning_rate=learning_rate))
     elif name == "adam":
