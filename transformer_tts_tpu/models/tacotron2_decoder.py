@@ -189,24 +189,70 @@ class Tacotron2Decoder(nn.Module):
         state = self._init_state(b, e_outputs.shape[1], sb1, sb2)
         base_rng = self.make_rng("dropout") if train else None
 
-        frames_all = []
-        stops_all = []
-        alphas = []
-        for step in range(steps):
-            rng = (jax.random.fold_in(base_rng, step)
-                   if base_rng is not None else None)
+        # teacher frames: the last frame of each r-group feeds the next
+        # step (decoder.py:184-186)
+        teacher = meltarget[:, r - 1::r, :]               # (B, steps, mel)
+        step_rngs = None
+        if base_rng is not None:
+            step_rngs = jax.vmap(
+                lambda i: jax.random.fold_in(base_rng, i))(
+                jnp.arange(steps))
+
+        def one_step(state, rng, teacher_frame):
             state, frames, stop, alpha = self._step(
                 state, e_outputs, None, spk_e, train=train, rng=rng,
                 subtract_max=True)
-            # teacher forcing: last frame of the current group
-            state = state._replace(
-                prev_frame=meltarget[:, step * r + r - 1, :])
-            frames_all.append(frames)
-            stops_all.append(stop)
-            alphas.append(alpha)
-        frames = jnp.concatenate(frames_all, axis=1)      # (B, T, mel)
-        stops = jnp.concatenate(stops_all, axis=1)        # (B, T)
-        attention = jnp.stack(alphas, axis=1)             # (B, steps, L)
+            state = state._replace(prev_frame=teacher_frame)
+            return state, frames, stop, alpha
+
+        # step 0 runs eagerly (materializes the submodule params under
+        # init — flax can't create params inside lax.scan); the
+        # remaining steps run as ONE scanned XLA step. The previous
+        # Python loop unrolled all T/r steps into the HLO: 512-step
+        # compiles took ~20 minutes.
+        state, f0, s0, a0 = one_step(
+            state, step_rngs[0] if step_rngs is not None else None,
+            teacher[:, 0])
+
+        def body(carry, xs):
+            state = carry
+            rng, teacher_frame = xs
+            state, frames, stop, alpha = one_step(state, rng,
+                                                  teacher_frame)
+            return state, (frames, stop, alpha)
+
+        if steps > 1:
+            xs = (step_rngs[1:] if step_rngs is not None
+                  else jnp.zeros((steps - 1,), jnp.uint32),
+                  jnp.swapaxes(teacher[:, 1:], 0, 1))
+            if step_rngs is None:
+                def body_norng(carry, xs):
+                    state = carry
+                    _, teacher_frame = xs
+                    state, frames, stop, alpha = one_step(
+                        state, None, teacher_frame)
+                    return state, (frames, stop, alpha)
+                _, (f_r, s_r, a_r) = jax.lax.scan(body_norng, state, xs,
+                                                  unroll=8)
+            else:
+                # unroll=8: recovers most cross-step fusion (the fully
+                # unrolled loop ran 169 vs 214 ms scanned) at ~1/64 the
+                # unrolled compile time
+                _, (f_r, s_r, a_r) = jax.lax.scan(body, state, xs,
+                                                  unroll=8)
+            # scan stacks along axis 0 = steps; frames are (B, r, mel)
+            frames = jnp.concatenate(
+                [f0[:, None], jnp.swapaxes(f_r, 0, 1)], axis=1)
+            stops = jnp.concatenate(
+                [s0[:, None], jnp.swapaxes(s_r, 0, 1)], axis=1)
+            attention = jnp.concatenate(
+                [a0[:, None], jnp.swapaxes(a_r, 0, 1)], axis=1)
+        else:
+            frames, stops = f0[:, None], s0[:, None]
+            attention = a0[:, None]
+        frames = frames.reshape(b, steps * r, self.mel_dim)
+        stops = stops.reshape(b, steps * stops.shape[-1])
+        attention = attention.reshape(b, steps, -1)
         return frames, stops, attention
 
     def synthesize(self, e_outputs, text_lengths=None, spk_emb=None,
