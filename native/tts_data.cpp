@@ -18,11 +18,14 @@
 // Python binding: ctypes (transformer_tts_tpu/data/native.py), with a
 // transparent numpy fallback when the shared library is unavailable.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -166,6 +169,44 @@ void tts_pad_mel_batch(const float** mels, const int* lengths, int batch,
         size_t count = (size_t)(max_len - n) * dim;
         for (size_t k = 0; k < count; ++k) tail[k] = pad;
     }
+}
+
+// Assemble a whole padded batch in one call: N worker threads each load
+// (npy or HTK, auto-detected), normalize, and write DIRECTLY into the
+// caller's (batch, max_len, dim) buffer, then pad-fill the tail — one
+// GIL release for the entire batch instead of one ctypes round trip per
+// utterance. lengths_out[i] receives the true frame count (clamped to
+// max_len), or -1 if utterance i failed (caller falls back for it).
+void tts_load_mel_batch(const char** paths, int batch, float* out,
+                        int max_len, int dim, float pad,
+                        const float* mean, const float* var,
+                        int n_threads, int* lengths_out) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > batch) n_threads = batch;
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= batch) return;
+            float* dst = out + (size_t)i * max_len * dim;
+            const char* p = paths[i];
+            int n = -1;
+            if (std::strstr(p, ".htk")) {
+                n = tts_load_htk(p, dst, max_len, dim, mean, var);
+            } else {
+                n = tts_load_npy(p, dst, max_len, dim, mean, var);
+            }
+            lengths_out[i] = n;
+            int start = n < 0 ? 0 : n;
+            float* tail = dst + (size_t)start * dim;
+            size_t count = (size_t)(max_len - start) * dim;
+            for (size_t k = 0; k < count; ++k) tail[k] = pad;
+        }
+    };
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

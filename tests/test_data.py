@@ -209,3 +209,41 @@ def test_mel_lengths_fast_path_matches_getitem(corpus):
         np.testing.assert_array_equal(fast, slow)
         assert all(ds._fast_mel_length(i) is not None
                    for i in range(len(ds)))   # fast path actually used
+
+
+def test_native_batch_loader_matches_per_item(corpus, tmp_path):
+    """load_batch_samples (one threaded C++ call) == per-item path."""
+    from transformer_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, script = corpus
+    mean = np.full((1, MEL_DIM), 1.5, np.float32)
+    var = np.full((1, MEL_DIM), 2.25, np.float32)
+    np.save(tmp_path / "mean.npy", mean)
+    np.save(tmp_path / "var.npy", var)
+    hp = make_hp(mean_file=str(tmp_path / "mean.npy"),
+                 var_file=str(tmp_path / "var.npy"))
+    ds = TTSDataset(script, hp)
+    idxs = [3, 0, 7, 5]
+    fast = ds.load_batch_samples(idxs, n_threads=3)
+    slow = [ds[i] for i in idxs]
+    for f, s in zip(fast, slow):
+        np.testing.assert_allclose(f["mel"], s["mel"], rtol=1e-6,
+                                   atol=1e-7)
+        assert f["mel_length"] == s["mel_length"]
+        np.testing.assert_array_equal(f["alignment"], s["alignment"])
+        np.testing.assert_array_equal(f["text"], s["text"])
+    # the DataLoader path produces identical collated batches to a
+    # dataset whose fast path is forced off
+    class SlowDS(TTSDataset):
+        def load_batch_samples(self, indices, n_threads=8):
+            return [self[i] for i in indices]
+
+    batches_fast = list(DataLoader(ds, hp, num_workers=2))
+    batches_slow = list(DataLoader(SlowDS(script, hp), hp,
+                                   num_workers=2))
+    assert len(batches_fast) == len(batches_slow) > 0
+    for bf, bs in zip(batches_fast, batches_slow):
+        np.testing.assert_allclose(bf["mel"], bs["mel"], rtol=1e-6,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(bf["pos_mel"], bs["pos_mel"])

@@ -93,7 +93,9 @@ class TTSDataset:
     def text_length(self, idx: int) -> int:
         return len(self._encode_text(self.rows[idx][1].strip()))
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def __getitem__(self, idx: int,
+                    _preloaded_mel: Optional[np.ndarray] = None
+                    ) -> Dict[str, Any]:
         hp = self.hp
         row = self.rows[idx]
         mel_name = row[0]
@@ -147,7 +149,8 @@ class TTSDataset:
             sample["mel"] = tokens
             sample["mel_length"] = tokens.shape[0]
         else:
-            mel = self._load_mel(mel_name)
+            mel = (_preloaded_mel if _preloaded_mel is not None
+                   else self._load_mel(mel_name))
             if self.is_ar:
                 mel = np.concatenate(
                     [np.zeros((1, hp.mel_dim), np.float32), mel], axis=0)
@@ -168,6 +171,42 @@ class TTSDataset:
             sample["energy"] = np.load(
                 mel_name.replace(".npy", "_energy.npy")).astype(np.float32)
         return sample
+
+    def load_batch_samples(self, indices, n_threads: int = 8):
+        """Batch fetch with the native threaded mel loader.
+
+        One C++ call loads + normalizes every mel of the batch in
+        parallel (no GIL, no per-file Python round trip); metadata and
+        the small sibling arrays stay in Python. Falls back to per-item
+        ``__getitem__`` whenever inapplicable: AR (go-frame reshaping),
+        discrete-token corpora, test mode, non-npy/htk containers, the
+        library being unavailable, or any per-row load failure. Rows
+        that fill the probe buffer completely are re-loaded through the
+        exact path (possible truncation).
+        """
+        from transformer_tts_tpu.data import native
+
+        if (self.test_mode or self.is_ar or self.hp.output_type
+                or not native.available()):
+            return [self[i] for i in indices]
+        paths = [self.rows[i][0] for i in indices]
+        if not all(p.endswith(".npy") or ".htk" in p for p in paths):
+            return [self[i] for i in indices]
+        mean, var = self.normalizer.arrays()
+        max_len = max(max(self.hp.length_buckets), 4096)
+        res = native.load_mel_batch(paths, max_len, self.hp.mel_dim,
+                                    0.0, mean, var, n_threads=n_threads)
+        if res is None:
+            return [self[i] for i in indices]
+        buf, lengths = res
+        samples = []
+        for row, (i, n) in enumerate(zip(indices, lengths)):
+            if n < 0 or n >= max_len:
+                samples.append(self[i])
+            else:
+                samples.append(self.__getitem__(
+                    i, _preloaded_mel=buf[row, :n]))
+        return samples
 
     def _fast_mel_length(self, idx: int) -> Optional[int]:
         """Length of utterance ``idx`` from the .npy header only.

@@ -50,7 +50,11 @@ class DataLoader:
         return len(batches)
 
     def _load_batch(self, indices):
-        samples = [self.dataset[i] for i in indices]
+        if hasattr(self.dataset, "load_batch_samples"):
+            samples = self.dataset.load_batch_samples(
+                indices, n_threads=max(self.num_workers, 1))
+        else:
+            samples = [self.dataset[i] for i in indices]
         return collate(samples, self.hp, pad_batch=self.pad_batch,
                        batch_multiple=self.batch_multiple)
 

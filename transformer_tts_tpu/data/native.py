@@ -46,6 +46,11 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.tts_pad_mel_batch.argtypes = [
             ctypes.POINTER(f32p), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p]
+        lib.tts_load_mel_batch.restype = None
+        lib.tts_load_mel_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p, f32p,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     except Exception:
         _lib = None
@@ -86,6 +91,33 @@ def load_mel_normalized(path: str, mel_dim: int,
     if n < 0:
         return None
     return out[:n].copy()
+
+
+def load_mel_batch(paths, max_len: int, mel_dim: int, pad: float,
+                   mean: Optional[np.ndarray] = None,
+                   var: Optional[np.ndarray] = None,
+                   n_threads: int = 8):
+    """One native call: N threads load+normalize+pad a whole batch.
+
+    Returns (out (B, max_len, mel_dim) float32, lengths (B,) int32) or
+    None -> caller falls back. lengths[i] == -1 marks a per-utterance
+    failure (unsupported layout) — the caller reloads just that row.
+    """
+    lib = _load_library()
+    if lib is None or not paths:
+        return None
+    mean_f = np.ascontiguousarray(mean, np.float32).reshape(-1) \
+        if mean is not None else None
+    var_f = np.ascontiguousarray(var, np.float32).reshape(-1) \
+        if var is not None else None
+    b = len(paths)
+    out = np.empty((b, max_len, mel_dim), np.float32)
+    lengths = (ctypes.c_int * b)()
+    c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    lib.tts_load_mel_batch(c_paths, b, _fptr(out), max_len, mel_dim,
+                           ctypes.c_float(pad), _fptr(mean_f),
+                           _fptr(var_f), n_threads, lengths)
+    return out, np.frombuffer(lengths, np.int32).copy()
 
 
 def pad_mel_batch(mels, max_len: int, pad: float) -> Optional[np.ndarray]:
