@@ -139,20 +139,39 @@ int tts_load_npy(const char* path, float* out, int max_frames, int out_dim,
 
     long frames = rows < max_frames ? rows : max_frames;
     size_t elem = f64 ? 8 : 4;
-    char* row = (char*)std::malloc(elem * cols);
-    for (long i = 0; i < frames; ++i) {
-        if (std::fread(row, elem, cols, fh) != (size_t)cols) {
-            frames = i;
-            break;
+    size_t count = (size_t)frames * cols;
+    // bulk read (one fread for the whole matrix — a per-row loop is
+    // slower than numpy's single blob read), then normalize in place
+    if (f64) {
+        double* tmp = (double*)std::malloc(sizeof(double) * count);
+        size_t got = std::fread(tmp, elem, count, fh);
+        frames = (long)(got / cols);
+        for (long i = 0; i < frames; ++i) {
+            float* dst = out + (size_t)i * out_dim;
+            const double* src = tmp + (size_t)i * cols;
+            for (int j = 0; j < out_dim; ++j) {
+                float v = (float)src[j];
+                if (mean) v = (v - mean[j]) / std::sqrt(var[j]);
+                dst[j] = v;
+            }
         }
-        float* dst = out + (size_t)i * out_dim;
-        for (int j = 0; j < out_dim; ++j) {
-            float v = f64 ? (float)((double*)row)[j] : ((float*)row)[j];
-            if (mean) v = (v - mean[j]) / std::sqrt(var[j]);
-            dst[j] = v;
+        std::free(tmp);
+    } else {
+        size_t got = std::fread(out, elem, count, fh);
+        frames = (long)(got / cols);
+        if (mean) {
+            // divide (not reciprocal-multiply): bit-identical to the
+            // numpy path's (x - mean) / sqrt(var)
+            float sq[1024];
+            int d = out_dim < 1024 ? out_dim : 1024;
+            for (int j = 0; j < d; ++j) sq[j] = std::sqrt(var[j]);
+            for (long i = 0; i < frames; ++i) {
+                float* dst = out + (size_t)i * out_dim;
+                for (int j = 0; j < d; ++j)
+                    dst[j] = (dst[j] - mean[j]) / sq[j];
+            }
         }
     }
-    std::free(row);
     std::fclose(fh);
     return (int)frames;
 }
@@ -177,10 +196,13 @@ void tts_pad_mel_batch(const float** mels, const int* lengths, int batch,
 // GIL release for the entire batch instead of one ctypes round trip per
 // utterance. lengths_out[i] receives the true frame count (clamped to
 // max_len), or -1 if utterance i failed (caller falls back for it).
+// fill_tail=0 skips padding rows past the loaded frames — callers that
+// re-collate into their own padded buffer (the data layer) avoid
+// touching the probe buffer's (large) tail.
 void tts_load_mel_batch(const char** paths, int batch, float* out,
                         int max_len, int dim, float pad,
                         const float* mean, const float* var,
-                        int n_threads, int* lengths_out) {
+                        int n_threads, int* lengths_out, int fill_tail) {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > batch) n_threads = batch;
     std::atomic<int> next(0);
@@ -197,10 +219,12 @@ void tts_load_mel_batch(const char** paths, int batch, float* out,
                 n = tts_load_npy(p, dst, max_len, dim, mean, var);
             }
             lengths_out[i] = n;
-            int start = n < 0 ? 0 : n;
-            float* tail = dst + (size_t)start * dim;
-            size_t count = (size_t)(max_len - start) * dim;
-            for (size_t k = 0; k < count; ++k) tail[k] = pad;
+            if (fill_tail || n < 0) {
+                int start = n < 0 ? 0 : n;
+                float* tail = dst + (size_t)start * dim;
+                size_t count = (size_t)(max_len - start) * dim;
+                for (size_t k = 0; k < count; ++k) tail[k] = pad;
+            }
         }
     };
     std::vector<std::thread> threads;

@@ -183,6 +183,10 @@ class TTSDataset:
         library being unavailable, or any per-row load failure. Rows
         that fill the probe buffer completely are re-loaded through the
         exact path (possible truncation).
+
+        Ownership: returned ``mel`` arrays are views into a per-thread
+        reusable buffer — valid until this thread's NEXT call. Collate
+        (the only in-tree consumer) copies them immediately.
         """
         from transformer_tts_tpu.data import native
 
@@ -195,7 +199,8 @@ class TTSDataset:
         mean, var = self.normalizer.arrays()
         max_len = max(max(self.hp.length_buckets), 4096)
         res = native.load_mel_batch(paths, max_len, self.hp.mel_dim,
-                                    0.0, mean, var, n_threads=n_threads)
+                                    0.0, mean, var, n_threads=n_threads,
+                                    fill_tail=False)
         if res is None:
             return [self[i] for i in indices]
         buf, lengths = res

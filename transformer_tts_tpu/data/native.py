@@ -50,7 +50,7 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.tts_load_mel_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, f32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p, f32p,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
     except Exception:
         _lib = None
@@ -93,10 +93,25 @@ def load_mel_normalized(path: str, mel_dim: int,
     return out[:n].copy()
 
 
+_probe_buffers = __import__("threading").local()
+
+
+def _probe_buffer(shape):
+    """Per-thread reusable output buffer (a fresh 40+MB np.empty per
+    batch costs mmap/munmap + page faults; loader pool threads each
+    consume their batch before the next call, so per-thread reuse is
+    safe — collate copies the mel views out immediately)."""
+    buf = getattr(_probe_buffers, "buf", None)
+    if buf is None or buf.shape[1:] != shape[1:] or buf.shape[0] < shape[0]:
+        buf = np.empty(shape, np.float32)
+        _probe_buffers.buf = buf
+    return buf[:shape[0]]
+
+
 def load_mel_batch(paths, max_len: int, mel_dim: int, pad: float,
                    mean: Optional[np.ndarray] = None,
                    var: Optional[np.ndarray] = None,
-                   n_threads: int = 8):
+                   n_threads: int = 8, fill_tail: bool = True):
     """One native call: N threads load+normalize+pad a whole batch.
 
     Returns (out (B, max_len, mel_dim) float32, lengths (B,) int32) or
@@ -111,12 +126,13 @@ def load_mel_batch(paths, max_len: int, mel_dim: int, pad: float,
     var_f = np.ascontiguousarray(var, np.float32).reshape(-1) \
         if var is not None else None
     b = len(paths)
-    out = np.empty((b, max_len, mel_dim), np.float32)
+    out = _probe_buffer((b, max_len, mel_dim))
     lengths = (ctypes.c_int * b)()
     c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
     lib.tts_load_mel_batch(c_paths, b, _fptr(out), max_len, mel_dim,
                            ctypes.c_float(pad), _fptr(mean_f),
-                           _fptr(var_f), n_threads, lengths)
+                           _fptr(var_f), n_threads, lengths,
+                           1 if fill_tail else 0)
     return out, np.frombuffer(lengths, np.int32).copy()
 
 
