@@ -257,3 +257,17 @@ def test_wav_flag_cli_smoke(corpus, tmp_path):
     cli_synth.main(["--load_name", save_dir, "--save", out_dir,
                     "--max_frames", "64", "--wav"])
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
+
+
+def test_synthesize_amp_outputs_are_float32_npy(corpus, tmp_path):
+    """Under amp the device mel is bf16; saved .npy must be float32
+    (raw-bf16 npy reads back as an uninterpretable void dtype)."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1, amp=True)
+    cli_train.main(["--hp_file", hp_path])
+    out_dir = str(tmp_path / "gen_amp")
+    cli_synth.main(["--load_name", save_dir, "--save", out_dir])
+    mel = np.load(os.path.join(out_dir, "0.npy"))
+    assert mel.dtype == np.float32
+    assert np.isfinite(mel).all()

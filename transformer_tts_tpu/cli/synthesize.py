@@ -197,7 +197,10 @@ def main(argv=None):
                 mel = _apply_post_model(
                     hp, model, variables, post_model, post_variables,
                     text, pos_text, args.max_frames, mel, mean_j, var_j)
-            mel_np = np.asarray(mel)
+            # float32 on disk: under amp the device mel is bf16, which
+            # np.save would write as a raw 2-byte void dtype that
+            # np.load cannot interpret (reference mels are float .npy)
+            mel_np = np.asarray(mel, np.float32)
             lens = [int(mel_len[j]) for j in range(n_real)]
         elapsed += time.time() - t0
 

@@ -56,9 +56,11 @@ def main(argv=None):
                   if isinstance(v, np.ndarray) and v.ndim > 0}
         out, _ = eval_fn(state, arrays)
         n = int(batch["mel_length"][0])
+        # float32 on disk (device mel is bf16 under amp; raw bf16 .npy
+        # is unreadable — see cli/synthesize.py)
         mel = np.asarray(
             (out.mel_post if out.mel_post is not None else out.mel_pre)
-            [0, :n])
+            [0, :n], np.float32)
         mel = normalizer.denormalize(mel)
         src = sample["mel_name"]
         if args.out_dir:

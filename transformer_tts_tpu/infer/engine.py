@@ -133,7 +133,7 @@ class TTSEngine:
                 for row, i in enumerate(idxs):
                     spk[row] = speakers[i]
             mel, mel_len, durations = self._run_padded(text, pos, spk)
-            mel = np.asarray(mel)
+            mel = np.asarray(mel, np.float32)   # device bf16 under amp
             mel_len = np.asarray(mel_len)
             durations = np.asarray(durations)
             for row, i in enumerate(idxs):
