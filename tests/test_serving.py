@@ -160,3 +160,41 @@ def test_result_to_json_wav():
         assert fh.getnchannels() == 1
         # 40 frames * 256 hop samples (+/- istft edge)
         assert abs(fh.getnframes() - 40 * 256) < 1024
+
+
+@pytest.mark.slow
+def test_engine_multispeaker(tmp_path):
+    """Engine serves a speaker-id-conditioned model per request."""
+    from tests.test_cli import write_hp, MEL_DIM
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        t_text = rs.randint(4, 8)
+        t_mel = t_text * 3
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), 3, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}|{i % 2}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(lines[:2]) + "\n")
+    hp_path, save_dir = write_hp(
+        tmp_path, tmp_path, max_epoch=1, is_multi_speaker=True,
+        spk_emb_type="speaker_id", spk_emb_dim=4, num_speakers=4,
+        spk_emb_architecture=("encoder",))
+    from transformer_tts_tpu.cli import train as cli_train
+    cli_train.main(["--hp_file", hp_path])
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    engine = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                       text_buckets=(8,))
+    r = engine.synthesize([[1, 2, 3], [1, 2, 3]], speakers=[0, 1])
+    assert len(r) == 2
+    # different speakers must change the output (same text)
+    if r[0]["mel"].shape == r[1]["mel"].shape and r[0]["mel"].size:
+        assert not np.allclose(r[0]["mel"], r[1]["mel"])
