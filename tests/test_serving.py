@@ -198,3 +198,37 @@ def test_engine_multispeaker(tmp_path):
     # different speakers must change the output (same text)
     if r[0]["mel"].shape == r[1]["mel"].shape and r[0]["mel"].size:
         assert not np.allclose(r[0]["mel"], r[1]["mel"])
+
+
+def test_microbatcher_overload_rejects():
+    from transformer_tts_tpu.infer.server import MicroBatcher, ServerFull
+    import time as _t
+    gate = threading.Event()
+
+    def slow_synth(texts, speakers=None):
+        gate.wait(timeout=5)
+        return [{"mel": np.zeros((1, 4), np.float32),
+                 "durations": np.ones((1,), np.int32)} for _ in texts]
+
+    mb = MicroBatcher(slow_synth, batch_size=1, batch_window_ms=1.0,
+                      max_queue=2)
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(mb.submit([1]))
+        except ServerFull as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+        _t.sleep(0.02)          # deterministic queue fill order
+    gate.set()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert len(errors) >= 1            # overload rejected fast
+    assert len(results) + len(errors) == 6
+    assert mb.n_rejected == len(errors)
+    assert mb.n_batches == len(results)

@@ -39,25 +39,53 @@ class _Pending:
         self.error: Optional[str] = None
 
 
+class ServerFull(RuntimeError):
+    """Queue at capacity — callers should surface 503."""
+
+
 class MicroBatcher:
-    """Coalesce concurrent single requests into batched synth calls."""
+    """Coalesce concurrent single requests into batched synth calls.
+
+    ``max_queue`` bounds admission: beyond it, ``submit`` raises
+    :class:`ServerFull` immediately instead of letting latency grow
+    without bound under overload (the HTTP layer maps it to 503).
+    """
 
     def __init__(self, synth_fn: Callable, batch_size: int,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0,
+                 max_queue: Optional[int] = None):
         self._synth = synth_fn
         self._batch = int(batch_size)
         self._window = batch_window_ms / 1000.0
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._q: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=max_queue or 0)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        # metrics (read under the GIL; ints update atomically enough
+        # for monitoring)
+        self.n_requests = 0
+        self.n_errors = 0
+        self.n_rejected = 0
+        self.n_batches = 0
+        self.sum_batch_size = 0
+        self.sum_wait_ms = 0.0
 
     def submit(self, text: Sequence[int],
                speaker: Optional[int] = None) -> dict:
         p = _Pending(list(text), speaker)
-        self._q.put(p)
+        t0 = time.time()
+        try:
+            self._q.put_nowait(p)
+        except queue.Full:
+            self.n_rejected += 1
+            raise ServerFull(
+                f"queue at capacity ({self._q.maxsize})") from None
+        self.n_requests += 1
         p.event.wait()
+        self.sum_wait_ms += (time.time() - t0) * 1000
         if p.error is not None:
+            self.n_errors += 1
             raise RuntimeError(p.error)
         return p.result
 
@@ -89,6 +117,8 @@ class MicroBatcher:
                 if any(p.speaker is not None for p in group):
                     speakers = [p.speaker or 0 for p in group]
                 results = self._synth([p.text for p in group], speakers)
+                self.n_batches += 1
+                self.sum_batch_size += len(group)
                 for p, r in zip(group, results):
                     p.result = r
                     p.event.set()
@@ -134,10 +164,11 @@ def _result_to_json(r: dict, *, wav: bool = False,
 
 class TTSServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0,
+                 max_queue: Optional[int] = 256):
         self.engine = engine
         self.batcher = MicroBatcher(engine.synthesize, engine.batch_size,
-                                    batch_window_ms)
+                                    batch_window_ms, max_queue=max_queue)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -159,6 +190,19 @@ class TTSServer:
                         "model": server.engine.hp.model,
                         "batch_size": server.engine.batch_size,
                         "text_buckets": list(server.engine.text_buckets),
+                    })
+                elif self.path == "/metrics":
+                    b = server.batcher
+                    n = max(b.n_requests, 1)
+                    self._reply(200, {
+                        "requests": b.n_requests,
+                        "errors": b.n_errors,
+                        "rejected": b.n_rejected,
+                        "batches": b.n_batches,
+                        "mean_batch_size": round(
+                            b.sum_batch_size / max(b.n_batches, 1), 2),
+                        "mean_latency_ms": round(b.sum_wait_ms / n, 2),
+                        "queue_depth": b._q.qsize(),
                     })
                 else:
                     self._reply(404, {"error": "not found"})
@@ -186,6 +230,8 @@ class TTSServer:
                         payload = _result_to_json(r, **jopts)
                         payload["ms"] = round((time.time() - t0) * 1000, 2)
                     self._reply(200, payload)
+                except ServerFull as e:
+                    self._reply(503, {"error": str(e)})
                 except Exception as e:       # noqa: BLE001 — HTTP boundary
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
