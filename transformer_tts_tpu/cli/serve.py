@@ -35,6 +35,9 @@ def main(argv=None):
                         help="comma-separated text buckets "
                              "(default: hp.text_buckets)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0)
+    parser.add_argument("--max_queue", type=int, default=256,
+                        help="admission bound; beyond it requests get "
+                             "503 instead of unbounded queueing")
     parser.add_argument("--export", type=str, default=None,
                         help="write jax.export artifacts here and exit")
     args = parser.parse_args(argv)
@@ -62,7 +65,8 @@ def main(argv=None):
 
     from transformer_tts_tpu.infer.server import TTSServer
     server = TTSServer(engine, host=args.host, port=args.port,
-                       batch_window_ms=args.batch_window_ms)
+                       batch_window_ms=args.batch_window_ms,
+                       max_queue=args.max_queue)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(batch {engine.batch_size}, buckets {engine.text_buckets})",
           flush=True)
