@@ -87,7 +87,8 @@ def test_collate_shapes_stable_across_batches(corpus):
 def test_lengths_batch_sampler_matches_reference_packing():
     """Greedy max_len*(count+1) <= budget (datasets_fastspeech2.py:784-801)."""
     lengths = np.array([10, 12, 8, 30, 5, 5, 5, 40])
-    sampler = LengthsBatchSampler(lengths, 30, shuffle=False)
+    sampler = LengthsBatchSampler(lengths, 30, shuffle=False,
+                                  sort_by_length=False)
     batches = sampler.all_indices
     for b in batches:
         assert max(lengths[b]) * len(b) <= 30 or len(b) == 1
@@ -188,7 +189,8 @@ def test_native_pad_batch_matches_numpy():
 def test_lengths_batch_sampler_sum_budget():
     """Sum-of-lengths packing (datasets_transformer.py:431-490 variant)."""
     lengths = np.array([10, 12, 8, 30, 5, 5, 5, 40])
-    s = LengthsBatchSampler(lengths, 30, shuffle=False, budget="sum")
+    s = LengthsBatchSampler(lengths, 30, shuffle=False, budget="sum",
+                            sort_by_length=False)
     for b in s.all_indices:
         assert sum(lengths[b]) <= 30 or len(b) == 1
     flat = [i for b in s.all_indices for i in b]
@@ -247,3 +249,22 @@ def test_native_batch_loader_matches_per_item(corpus, tmp_path):
         np.testing.assert_allclose(bf["mel"], bs["mel"], rtol=1e-6,
                                    atol=1e-6)
         np.testing.assert_array_equal(bf["pos_mel"], bs["pos_mel"])
+
+
+def test_lengths_sampler_sort_by_length():
+    lengths = np.array([100, 10, 90, 20, 80, 30, 70, 40])
+    s = LengthsBatchSampler(lengths, 200, shuffle=False,
+                            sort_by_length=True)
+    batches = list(iter(s))
+    # every utterance appears exactly once
+    flat = sorted(i for b in batches for i in b)
+    assert flat == list(range(8))
+    # batches are length-homogeneous: each batch's lengths are a
+    # contiguous run of the sorted lengths
+    seen = [lengths[i] for b in batches for i in b]
+    assert seen == sorted(seen) or seen == sorted(seen, reverse=True)
+    # corpus-order packing (reference literal) still available
+    s2 = LengthsBatchSampler(lengths, 200, shuffle=False,
+                             sort_by_length=False)
+    flat2 = [i for b in iter(s2) for i in b]
+    assert flat2 == sorted(flat2)

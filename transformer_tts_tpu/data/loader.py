@@ -37,8 +37,9 @@ class DataLoader:
                                           seed=hp.seed)
             elif hp.max_seqlen is not None:
                 lengths = dataset.mel_lengths(hp.lengths_file)
-                sampler = LengthsBatchSampler(lengths, hp.max_seqlen,
-                                              seed=hp.seed)
+                sampler = LengthsBatchSampler(
+                    lengths, hp.max_seqlen, seed=hp.seed,
+                    sort_by_length=hp.sort_by_length)
             else:
                 raise ValueError("set hp.batch_size or hp.max_seqlen")
         self.sampler = sampler

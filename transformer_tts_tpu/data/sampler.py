@@ -25,16 +25,28 @@ class LengthsBatchSampler:
     def __init__(self, lengths: np.ndarray, n_lengths: int, *,
                  shuffle: bool = True, shuffle_one_time: bool = False,
                  reverse: bool = False, seed: int = 77,
-                 budget: str = "max"):
+                 budget: str = "max", sort_by_length: bool = True):
         """``budget='max'``: max_len_in_batch * count <= n_lengths
         (datasets_fastspeech2.py:784-801). ``budget='sum'``: the
         transformer-datasets variant packing while the SUM of lengths
-        stays under budget (datasets_transformer.py:431-490)."""
+        stays under budget (datasets_transformer.py:431-490).
+
+        ``sort_by_length``: pack over length-sorted order instead of
+        corpus order (batch order is shuffled either way). The reference
+        packs in script order and relies on a pre-sorted script; sorting
+        here makes batches length-homogeneous regardless, which matters
+        on TPU: attention is O(T^2) per frame, so tighter buckets are
+        strictly faster per frame (64x512 trains 12% faster than 32x1024
+        at equal total frames — docs/PERF_NOTES.md). Set False for the
+        reference's literal corpus-order packing."""
         if shuffle and reverse:
             raise ValueError("shuffle and reverse cannot both be True")
         if budget not in ("max", "sum"):
             raise ValueError(f"unknown budget mode: {budget}")
         self.lengths_np = np.asarray(lengths)
+        self._order = (np.argsort(self.lengths_np, kind="stable")
+                       if sort_by_length
+                       else np.arange(len(self.lengths_np)))
         self.n_lengths = n_lengths
         self.budget = budget
         self.shuffle = shuffle
@@ -46,7 +58,7 @@ class LengthsBatchSampler:
             self._rng.shuffle(self.all_indices)
 
     def _batch_indices(self) -> List[List[int]]:
-        # greedy consecutive packing
+        # greedy consecutive packing over self._order
         all_indices = []
         count = 0
         n = len(self.lengths_np)
@@ -55,7 +67,8 @@ class LengthsBatchSampler:
             max_len = 0
             sum_len = 0
             while count < n:
-                curr = int(self.lengths_np[count])
+                idx = int(self._order[count])
+                curr = int(self.lengths_np[idx])
                 if self.budget == "max":
                     over = (max(max_len, curr) * (len(indices) + 1)
                             > self.n_lengths)
@@ -65,10 +78,10 @@ class LengthsBatchSampler:
                     break
                 max_len = max(max_len, curr)
                 sum_len += curr
-                indices.append(count)
+                indices.append(idx)
                 count += 1
             if not indices:   # single utterance over budget: emit alone
-                indices.append(count)
+                indices.append(int(self._order[count]))
                 count += 1
             all_indices.append(indices)
         return all_indices
