@@ -271,3 +271,22 @@ def test_synthesize_amp_outputs_are_float32_npy(corpus, tmp_path):
     mel = np.load(os.path.join(out_dir, "0.npy"))
     assert mel.dtype == np.float32
     assert np.isfinite(mel).all()
+
+
+def test_train_with_frame_budget_sampler(corpus, tmp_path):
+    """hp.max_seqlen (batch_size unset): LengthsBatchSampler drives the
+    real training loop, building/caching lengths.npy on first use."""
+    from transformer_tts_tpu.cli import train as cli_train
+    lengths_file = str(tmp_path / "lengths.npy")
+    hp_path, save_dir = write_hp(
+        tmp_path, corpus, max_epoch=1, batch_size=None, max_seqlen=64,
+        lengths_file=lengths_file)
+    cli_train.main(["--hp_file", hp_path])
+    assert os.path.isdir(os.path.join(save_dir, "epoch_1"))
+    lengths = np.load(lengths_file)
+    assert lengths.shape == (6,) and (lengths > 0).all()
+    # resume path under the same sampler
+    cli_train.main(["--hp_file", hp_path, "--set", "max_epoch=2",
+                    "--set", f"loaded_dir={save_dir}",
+                    "--set", "loaded_epoch=1"])
+    assert os.path.isdir(os.path.join(save_dir, "epoch_2"))
