@@ -232,3 +232,39 @@ def test_microbatcher_overload_rejects():
     assert len(results) + len(errors) == 6
     assert mb.n_rejected == len(errors)
     assert mb.n_batches == len(results)
+
+
+@pytest.mark.slow
+def test_serve_cli_export(tmp_path, capsys):
+    """cli.serve --export writes artifacts + manifest and exits."""
+    from tests.test_cli import write_hp
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(3):
+        t_text = 5
+        t_mel = 15
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, 8).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), 3, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text(lines[0] + "\n")
+    hp_path, save_dir = write_hp(tmp_path, tmp_path, max_epoch=1)
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import serve as cli_serve
+    cli_train.main(["--hp_file", hp_path])
+    out_dir = str(tmp_path / "exported")
+    cli_serve.main(["--load_name", save_dir, "--export", out_dir,
+                    "--buckets", "8", "--batch_size", "2"])
+    import os as _os
+    assert _os.path.exists(_os.path.join(out_dir, "manifest.json"))
+    manifest = json.loads(
+        open(_os.path.join(out_dir, "manifest.json")).read())
+    art = _os.path.join(out_dir, manifest["buckets"]["8"]["file"])
+    assert _os.path.getsize(art) > 1000
