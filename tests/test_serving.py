@@ -268,3 +268,43 @@ def test_serve_cli_export(tmp_path, capsys):
         open(_os.path.join(out_dir, "manifest.json")).read())
     art = _os.path.join(out_dir, manifest["buckets"]["8"]["file"])
     assert _os.path.getsize(art) > 1000
+
+
+@pytest.mark.slow
+def test_engine_serves_ar_transformer(tmp_path):
+    """AR Transformer-TTS through the same engine: batched KV-cached
+    decode behind the bucketed API."""
+    from tests.test_cli import write_hp, MEL_DIM
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        t_text = rs.randint(4, 8)
+        t_mel = t_text * 3
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text(lines[0] + "\n")
+    hp_path, save_dir = write_hp(
+        tmp_path, tmp_path, model="Transformer", max_epoch=1,
+        reduction_rate=2, ff_conv_kernel_size_decoder=1)
+    from transformer_tts_tpu.cli import train as cli_train
+    cli_train.main(["--hp_file", hp_path])
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    engine = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                       text_buckets=(8,))
+    engine.warmup()
+    results = engine.synthesize([[1, 2, 3], [4, 5, 6, 7]])
+    assert len(results) == 2
+    for r in results:
+        assert r["mel"].ndim == 2 and r["mel"].shape[1] == MEL_DIM
+        assert r["mel"].dtype == np.float32
+        assert r["durations"].shape == (0,)   # AR: no phone durations
+        # stop decision caps at max_steps*r frames
+        assert r["mel"].shape[0] <= engine.max_frames_for(8)

@@ -39,24 +39,31 @@ class TTSEngine:
         from transformer_tts_tpu.config import is_nar_model, load_hparams
         from transformer_tts_tpu.data.readers import Normalizer
         from transformer_tts_tpu.train import checkpoint as ckpt
-        from transformer_tts_tpu.train.trainer import init_fastspeech2_state
+        from transformer_tts_tpu.train.trainer import (
+            init_fastspeech2_state, init_transformer_state)
 
         if os.path.basename(load_dir).startswith(("epoch_", "average_")):
             hp_dir = os.path.dirname(load_dir)
         else:
             hp_dir = load_dir
         hp = load_hparams(hp_file or os.path.join(hp_dir, "hparams.py"))
-        if not is_nar_model(hp.model):
+        self.is_ar = not is_nar_model(hp.model)
+        if self.is_ar and hp.decoder_type.lower() == "tacotron2":
             raise ValueError(
-                "TTSEngine serves the NAR FastSpeech2 family; "
-                f"hp.model={hp.model!r} is autoregressive")
+                "TTSEngine serves the transformer families; the "
+                "tacotron2 decoder stays on the offline CLI path")
         self.hp = hp
         self.batch_size = int(batch_size)
         self.frames_per_phone = int(frames_per_phone)
         self.text_buckets = tuple(sorted(text_buckets or hp.text_buckets))
 
         rng = jax.random.PRNGKey(0)
-        model, state = init_fastspeech2_state(hp, rng)
+        if self.is_ar:
+            # batched KV-cached decode is latency-bound: b=8 costs the
+            # same wall time as b=1 (docs/PERF_NOTES.md "Inference")
+            model, state = init_transformer_state(hp, rng)
+        else:
+            model, state = init_fastspeech2_state(hp, rng)
         params = ckpt.restore_params(load_dir, state.params, epoch=epoch)
         self.model = model
         self.variables = {"params": params,
@@ -97,13 +104,21 @@ class TTSEngine:
                     speaker: Optional[np.ndarray] = None):
         import jax.numpy as jnp
         from transformer_tts_tpu.infer.synthesize import (
-            synthesize_fastspeech2)
+            synthesize_fastspeech2, synthesize_transformer_tts)
         spk = None
         if self.hp.is_multi_speaker and speaker is not None:
             spk = jnp.asarray(speaker)
+        max_frames = self.max_frames_for(text.shape[1])
+        if self.is_ar:
+            mel, mel_len = synthesize_transformer_tts(
+                self.model, self.variables, jnp.asarray(text),
+                jnp.asarray(pos_text), spk, mean=self._mean,
+                var=self._var,
+                max_steps=max_frames // (self.hp.reduction_rate or 1))
+            return mel, mel_len, None
         mel, mel_len, durations = synthesize_fastspeech2(
             self.model, self.variables, jnp.asarray(text),
-            jnp.asarray(pos_text), self.max_frames_for(text.shape[1]),
+            jnp.asarray(pos_text), max_frames,
             spk, mean=self._mean, var=self._var)
         return mel, mel_len, durations
 
@@ -135,11 +150,16 @@ class TTSEngine:
             mel, mel_len, durations = self._run_padded(text, pos, spk)
             mel = np.asarray(mel, np.float32)   # device bf16 under amp
             mel_len = np.asarray(mel_len)
-            durations = np.asarray(durations)
+            if durations is not None:
+                durations = np.asarray(durations)
             for row, i in enumerate(idxs):
                 n = len(texts[i])
                 out[i] = {"mel": mel[row, :int(mel_len[row])],
-                          "durations": durations[row, :n]}
+                          # AR has no per-phone durations (stop-token
+                          # decode); serve an empty vector
+                          "durations": (durations[row, :n]
+                                        if durations is not None
+                                        else np.zeros((0,), np.int32))}
         return out  # type: ignore[return-value]
 
     # ---------------- export ----------------
@@ -156,15 +176,21 @@ class TTSEngine:
         import jax.numpy as jnp
         from jax import export as jexport
         from transformer_tts_tpu.infer.synthesize import (
-            synthesize_fastspeech2)
+            synthesize_fastspeech2, synthesize_transformer_tts)
 
         os.makedirs(out_dir, exist_ok=True)
         manifest = {"model": self.hp.model, "mel_dim": self.hp.mel_dim,
                     "batch_size": self.batch_size, "buckets": {}}
+        stem = "transformer_tts" if self.is_ar else "fastspeech2"
         for bucket in self.text_buckets:
             max_frames = self.max_frames_for(bucket)
 
             def fn(text, pos_text, _mf=max_frames):
+                if self.is_ar:
+                    return synthesize_transformer_tts(
+                        self.model, self.variables, text, pos_text,
+                        mean=self._mean, var=self._var,
+                        max_steps=_mf // (self.hp.reduction_rate or 1))
                 return synthesize_fastspeech2(
                     self.model, self.variables, text, pos_text, _mf,
                     mean=self._mean, var=self._var)
@@ -172,7 +198,7 @@ class TTSEngine:
             shape = jax.ShapeDtypeStruct(
                 (self.batch_size, bucket), jnp.int32)
             exp = jexport.export(jax.jit(fn))(shape, shape)
-            name = f"fastspeech2_b{self.batch_size}_l{bucket}.stablehlo"
+            name = f"{stem}_b{self.batch_size}_l{bucket}.stablehlo"
             with open(os.path.join(out_dir, name), "wb") as fh:
                 fh.write(exp.serialize())
             manifest["buckets"][str(bucket)] = {
