@@ -15,8 +15,10 @@ shape surprises at request time are unacceptable, so the engine:
   ``jax.export`` StableHLO artifact + manifest — a deployable unit that a
   serving binary can load without Python model code.
 
-The NAR FastSpeech2 path is the serving path (single forward, static
-shapes). AR models stay on the CLI/offline path.
+Serves both transformer families: NAR FastSpeech2 (single forward) and
+AR Transformer-TTS (batched KV-cached decode — the while_loop step is
+latency-bound, so batching is nearly free; PERF_NOTES "Inference").
+The Tacotron2 decoder stays on the offline CLI path.
 """
 
 from __future__ import annotations
