@@ -97,8 +97,14 @@ class TTSEngine:
         times = {}
         for b in self.text_buckets:
             t0 = time.time()
+            # multi-speaker models trace a distinct signature with the
+            # speaker array present — warm that one (requests without a
+            # speaker fall back to it via speaker 0 anyway)
+            spk = (np.zeros((self.batch_size,), np.int32)
+                   if self.hp.is_multi_speaker else None)
             self._run_padded(np.ones((self.batch_size, b), np.int32),
-                             np.ones((self.batch_size, b), np.int32))
+                             np.ones((self.batch_size, b), np.int32),
+                             spk)
             times[b] = time.time() - t0
         return times
 
@@ -145,10 +151,14 @@ class TTSEngine:
                 text[row, :len(ids)] = ids
                 pos[row, :len(ids)] = np.arange(1, len(ids) + 1)
             spk = None
-            if speakers is not None:
+            if self.hp.is_multi_speaker:
+                # always pass the speaker array for multi-speaker models
+                # (default 0) — a None here would trace a SECOND
+                # signature the warmup never compiled
                 spk = np.zeros((bsz,), np.int32)
-                for row, i in enumerate(idxs):
-                    spk[row] = speakers[i]
+                if speakers is not None:
+                    for row, i in enumerate(idxs):
+                        spk[row] = speakers[i]
             mel, mel_len, durations = self._run_padded(text, pos, spk)
             mel = np.asarray(mel, np.float32)   # device bf16 under amp
             mel_len = np.asarray(mel_len)
