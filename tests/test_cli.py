@@ -290,3 +290,30 @@ def test_train_with_frame_budget_sampler(corpus, tmp_path):
                     "--set", f"loaded_dir={save_dir}",
                     "--set", "loaded_epoch=1"])
     assert os.path.isdir(os.path.join(save_dir, "epoch_2"))
+
+
+def test_gst_ref_mel_cli_path(corpus, tmp_path):
+    """AR + GST: --ref_mel conditions synthesis on a reference mel's
+    style (transformer.py:96-101 eval path)."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    hp_path, save_dir = write_hp(
+        tmp_path, corpus, model="Transformer", max_epoch=1,
+        reduction_rate=2, ff_conv_kernel_size_decoder=1, gst=True,
+        save_dir=str(tmp_path / "gst_ckpt"))
+    cli_train.main(["--hp_file", hp_path])
+    ref = str(corpus / "utt0.npy")
+    out_a = str(tmp_path / "gen_a")
+    out_b = str(tmp_path / "gen_b")
+    cli_synth.main(["--load_name", str(tmp_path / "gst_ckpt"),
+                    "--save", out_a, "--ref_mel", ref])
+    cli_synth.main(["--load_name", str(tmp_path / "gst_ckpt"),
+                    "--save", out_b, "--ref_mel",
+                    str(corpus / "utt3.npy")])
+    a = np.load(os.path.join(out_a, "0.npy"))
+    b = np.load(os.path.join(out_b, "0.npy"))
+    assert a.dtype == np.float32 and np.isfinite(a).all()
+    # a different style reference must change the output
+    n = min(len(a), len(b))
+    if n > 0:
+        assert not np.allclose(a[:n], b[:n])
