@@ -317,3 +317,26 @@ def test_gst_ref_mel_cli_path(corpus, tmp_path):
     n = min(len(a), len(b))
     if n > 0:
         assert not np.allclose(a[:n], b[:n])
+
+
+def test_xvector_multispeaker_cli_path(corpus, tmp_path):
+    """x-vector conditioning: _xvector.npy siblings load through the
+    data layer and condition FS2 training + synthesis
+    (datasets_fastspeech2.py:19-44 / spk_emb_type='x_vector')."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    rs = np.random.RandomState(5)
+    for i in range(6):
+        np.save(corpus / f"utt{i}_xvector.npy",
+                rs.randn(512).astype(np.float32))
+    hp_path, save_dir = write_hp(
+        tmp_path, corpus, max_epoch=1, is_multi_speaker=True,
+        spk_emb_type="x_vector", spk_emb_dim=512,
+        spk_emb_architecture=("encoder", "decoder"),
+        save_dir=str(tmp_path / "xv_ckpt"))
+    cli_train.main(["--hp_file", hp_path])
+    out_dir = str(tmp_path / "gen_xv")
+    cli_synth.main(["--load_name", str(tmp_path / "xv_ckpt"),
+                    "--save", out_dir])
+    mel = np.load(os.path.join(out_dir, "0.npy"))
+    assert mel.dtype == np.float32 and np.isfinite(mel).all()
