@@ -231,6 +231,8 @@ def _flash_fwd(q, k, v, k_len, *, causal, sm_scale, dropout_rate, seed,
         functools.partial(_fwd_kernel, causal=causal, sm_scale=sm_scale,
                           dropout_rate=dropout_rate,
                           has_bias=bias is not None),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -477,6 +479,8 @@ def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
     dq_res = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, sm_scale=sm_scale,
                           dropout_rate=dropout_rate, has_bias=has_bias),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh, n_q, n_k),
@@ -516,6 +520,8 @@ def _flash_bwd(q, k, v, k_len, out, lse, g, *, causal, sm_scale,
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, causal=causal, sm_scale=sm_scale,
                           dropout_rate=dropout_rate, has_bias=has_bias),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh, n_k, n_q),
