@@ -151,3 +151,28 @@ def test_sequence_parallel_attention_matches_single_device():
     for a, b_ in zip(g_sp, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conformer_sharded_step_matches_single_device():
+    """Relative-attention (conformer) stacks shard over the data mesh
+    identically to a single device — the rel-PE table broadcast and the
+    batched rel_shift must not couple across shards."""
+    hp = tiny_hp(encoder_type="conformer", decoder_type="conformer",
+                 dropout=0.0, dropout_postnet=0.0,
+                 dropout_variance_adaptor=0.0)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(3)
+    rng = jax.random.PRNGKey(1)
+
+    state1, logs1 = step_fn(state, batch, rng)
+
+    mesh = make_mesh()
+    state_r = jax.device_put(state, replicated(mesh))
+    batch_s = shard_batch(batch, mesh)
+    state2, logs2 = step_fn(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(
+        float(logs1["loss_total"]), float(logs2["loss_total"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(logs1["grad_norm"]), float(logs2["grad_norm"]), rtol=1e-4)
