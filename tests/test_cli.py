@@ -340,3 +340,32 @@ def test_xvector_multispeaker_cli_path(corpus, tmp_path):
                     "--save", out_dir])
     mel = np.load(os.path.join(out_dir, "0.npy"))
     assert mel.dtype == np.float32 and np.isfinite(mel).all()
+
+
+def test_accent_embedding_cli_path(corpus, tmp_path):
+    """Accent tokens in the script's third field condition the encoder
+    (encoder.py:92-97 accent_emb path) through train + synthesis."""
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    rs = np.random.RandomState(7)
+    # rewrite the scripts with per-phone accent ids in field 3
+    for name in ("train.txt", "test.txt"):
+        lines = (corpus / name).read_text().strip().split("\n")
+        out = []
+        for ln in lines:
+            mel_path, ids = ln.split("|")[:2]
+            n = len(ids.split(" "))
+            acc = " ".join(str(x) for x in rs.randint(0, 5, n))
+            out.append(f"{mel_path}|{ids}|{acc}")
+        (tmp_path / name).write_text("\n".join(out) + "\n")
+    hp_path, save_dir = write_hp(
+        tmp_path, corpus, max_epoch=1, accent_emb=True,
+        train_script=str(tmp_path / "train.txt"),
+        test_script=str(tmp_path / "test.txt"),
+        save_dir=str(tmp_path / "acc_ckpt"))
+    cli_train.main(["--hp_file", hp_path])
+    out_dir = str(tmp_path / "gen_acc")
+    cli_synth.main(["--load_name", str(tmp_path / "acc_ckpt"),
+                    "--save", out_dir])
+    mel = np.load(os.path.join(out_dir, "0.npy"))
+    assert mel.dtype == np.float32 and np.isfinite(mel).all()
