@@ -25,7 +25,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 
 class _Pending:
