@@ -119,3 +119,34 @@ def test_prepare_data_cli_feeds_training(tmp_path):
         var_file=str(out_dir / "var.npy"))
     cli_train.main(["--hp_file", hp_path])
     assert os.path.isdir(os.path.join(save_dir, "epoch_1"))
+
+
+def test_read_wav_stereo_and_8bit(tmp_path):
+    from transformer_tts_tpu.ops.features import read_wav
+    # stereo int16: channels average to mono
+    left = (np.sin(np.linspace(0, 20, 800)) * 0.4).astype(np.float32)
+    right = -left
+    inter = np.empty(1600, np.int16)
+    inter[0::2] = (left * 32767).astype(np.int16)
+    inter[1::2] = (right * 32767).astype(np.int16)
+    with wave.open(str(tmp_path / "st.wav"), "wb") as fh:
+        fh.setnchannels(2)
+        fh.setsampwidth(2)
+        fh.setframerate(22050)
+        fh.writeframes(inter.tobytes())
+    mono, rate = read_wav(str(tmp_path / "st.wav"))
+    assert rate == 22050 and mono.shape == (800,)
+    assert np.abs(mono).max() < 1e-4          # L + R cancel
+
+    # 8-bit unsigned PCM
+    audio8 = ((np.sin(np.linspace(0, 20, 500)) * 0.5 + 1.0)
+              * 128).astype(np.uint8)
+    with wave.open(str(tmp_path / "u8.wav"), "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(1)
+        fh.setframerate(22050)
+        fh.writeframes(audio8.tobytes())
+    got, _ = read_wav(str(tmp_path / "u8.wav"))
+    assert got.shape == (500,)
+    np.testing.assert_allclose(
+        got, (audio8.astype(np.float32) - 128) / 128.0, atol=1e-6)
