@@ -321,3 +321,99 @@ def test_softmax_output_mode_train_step():
     leaf0 = jax.tree.leaves(state.params)[0]
     leaf1 = jax.tree.leaves(state2.params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_ctc_aux_loss_matches_torch():
+    """ctc_aux_loss == torch F.ctc_loss(..., blank=0, reduction='mean')
+    (the reference call, train_Fastspeech2.py:220-224)."""
+    import torch
+    import torch.nn.functional as F
+    from transformer_tts_tpu.train.losses import ctc_aux_loss
+    rs = np.random.RandomState(0)
+    b, t, k, l = 3, 20, 8, 6
+    logits = rs.randn(b, t, k).astype(np.float32)
+    labels = rs.randint(1, k, (b, l)).astype(np.int32)
+    lab_len = np.array([6, 4, 5])
+    in_len = np.array([20, 15, 18])
+    for i in range(b):
+        labels[i, lab_len[i]:] = 0
+    logit_pad = (np.arange(t)[None] >= in_len[:, None]).astype(np.float32)
+    label_pad = (labels == 0).astype(np.float32)
+    ours = float(ctc_aux_loss(jnp.asarray(logits), jnp.asarray(logit_pad),
+                              jnp.asarray(labels), jnp.asarray(label_pad)))
+    ref = F.ctc_loss(
+        F.log_softmax(torch.tensor(logits), dim=2).transpose(0, 1),
+        torch.tensor(labels.astype(np.int64)),
+        torch.tensor(in_len), torch.tensor(lab_len),
+        blank=0, reduction="mean")
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_ctc_training_aux_loss():
+    """hp.CTC_training wires a mid-decoder CTC tap (weight 0.2, blank 0,
+    train_Fastspeech2.py:168,220-224): loss_ctc is logged and included in
+    the total; optimizing the tap alone drives the CTC loss down."""
+    hp = tiny_hp(CTC_training=True)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(0)
+    # give the text real padding so label_paddings is exercised
+    text = np.asarray(batch["text"]).copy()
+    text[0, -3:] = 0
+    batch["text"] = jnp.asarray(text)
+    batch["pos_text"] = jnp.where(batch["text"] != 0,
+                                  batch["pos_text"], 0)
+    rng = jax.random.PRNGKey(42)
+    state, logs0 = step_fn(state, batch, rng)
+    assert "loss_ctc" in logs0
+    first_ctc = float(logs0["loss_ctc"])
+    assert np.isfinite(first_ctc)
+    # total includes the weighted ctc term exactly
+    comp = sum(float(logs0[k]) for k in logs0
+               if k.startswith("loss_") and k not in
+               ("loss_total", "loss_ctc"))
+    np.testing.assert_allclose(float(logs0["loss_total"]),
+                               comp + 0.2 * first_ctc, rtol=1e-5)
+
+    # CTC-only optimization of the real tap (no interference from the
+    # random-target mel loss): the loss must decrease substantially
+    import optax
+    from transformer_tts_tpu.ops.masks import create_masks
+    from transformer_tts_tpu.train.losses import ctc_aux_loss
+    src_mask, mel_mask = create_masks(batch["pos_text"], batch["pos_mel"],
+                                      model="fastspeech2")
+
+    def ctc_only(params, rng):
+        out = model.apply(
+            {"params": params, "batch_stats": state.batch_stats,
+             "vq_stats": {}},
+            batch["text"], src_mask, batch["mel"].shape[1],
+            batch["alignment"], batch["f0"], batch["energy"],
+            mel_mask=mel_mask, train=False)
+        return ctc_aux_loss(
+            out.ctc_logits, 1.0 - mel_mask[:, 0, :].astype(jnp.float32),
+            batch["text"], (batch["text"] == 0).astype(jnp.float32))
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(state.params)
+    params = state.params
+    grad_fn = jax.jit(jax.value_and_grad(ctc_only))
+    v0 = None
+    for i in range(30):
+        v, g = grad_fn(params, jax.random.fold_in(rng, i))
+        if v0 is None:
+            v0 = float(v)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(v) < 0.5 * v0, (v0, float(v))
+
+
+def test_ctc_tap_absent_by_default():
+    hp = tiny_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    _, logs = step_fn(state, make_batch(0), jax.random.PRNGKey(1))
+    assert "loss_ctc" not in logs
+    assert not any("ctc" in k for k in
+                   jax.tree_util.tree_flatten_with_path(state.params)[0]
+                   for k in [str(k)])

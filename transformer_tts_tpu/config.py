@@ -145,6 +145,9 @@ _DEFAULTS: Dict[str, Any] = {
     "fix_mask": None,
     "speaker_emb": False,
     "ctc_out": False,
+    # CTC auxiliary loss on a mid-decoder tap (legacy trainer,
+    # train_Fastspeech2.py:168,220-224; weight 0.2, blank 0)
+    "CTC_training": False,
     "spk_emb_postprocess_type": None,
     "spk_emb_dim_postprocess": None,
     "intermediate_layers_out": None,

@@ -61,12 +61,20 @@ class Encoder(nn.Module):
     n_accents: int = 5       # encoder.py:61
     intermediate_layers_out: Optional[tuple] = None
     intermediate_dim: int = 80
+    # CTC auxiliary tap (reference Models/encoder.py:186-187,216-218:
+    # a Linear(d, ctc_classes) after layer ``ctc_layer``); consumed by
+    # the legacy trainer's CTC loss (train_Fastspeech2.py:220-224)
+    ctc_out: bool = False
+    ctc_classes: int = 152
+    ctc_layer: int = 2
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, mask, spk_emb=None, accent=None, *,
                  train: bool = True, collect_attn: bool = False):
+        assert not (self.ctc_out and self.intermediate_layers_out), \
+            "ctc_out and intermediate_layers_out taps are exclusive"
         x = _embed_or_project(self.embedding, self.vocab_size, self.d_model,
                               self.dtype)(src)
         x = PositionalEncoder(self.d_model, self.dropout, dtype=self.dtype,
@@ -77,6 +85,7 @@ class Encoder(nn.Module):
                      and mask.shape[1] == 1) else None)
         attns = []
         intermediate_outs = []
+        ctc_logits = None
         for i in range(self.n_layers):
             x, attn = EncoderLayer(
                 d_model=self.d_model, heads=self.heads,
@@ -92,6 +101,9 @@ class Encoder(nn.Module):
                 tap = nn.Dense(self.intermediate_dim, dtype=self.dtype,
                                name=f"intermediate_{i}")(x)
                 intermediate_outs.append(tap)
+            if self.ctc_out and i == min(self.ctc_layer, self.n_layers - 1):
+                ctc_logits = nn.Dense(self.ctc_classes, dtype=self.dtype,
+                                      name="ctc_linear")(x)
         if self.accent_emb and accent is not None:
             x = x + nn.Embed(self.n_accents, self.d_model, dtype=self.dtype,
                              name="acc_embed")(accent)
@@ -99,6 +111,8 @@ class Encoder(nn.Module):
         attn_out = jnp.stack(attns, axis=1) if collect_attn else None
         if self.intermediate_layers_out:
             return x, attn_out, intermediate_outs
+        if self.ctc_out:
+            return x, attn_out, ctc_logits
         return x, attn_out
 
 
@@ -114,6 +128,10 @@ class ConformerEncoder(nn.Module):
     embedding: bool = True
     accent_emb: bool = False
     n_accents: int = 13      # encoder.py:138
+    # same CTC tap contract as Encoder (reference encoder.py:216-218)
+    ctc_out: bool = False
+    ctc_classes: int = 152
+    ctc_layer: int = 2
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -134,6 +152,7 @@ class ConformerEncoder(nn.Module):
                  if (self.use_flash and mask is not None
                      and mask.shape[1] == 1) else None)
         attns = []
+        ctc_logits = None
         for i in range(self.n_layers):
             x, attn = ConformerEncoderLayer(
                 d_model=self.d_model, heads=self.heads,
@@ -145,8 +164,14 @@ class ConformerEncoder(nn.Module):
               collect_attn=collect_attn, k_len=k_len)
             if collect_attn:
                 attns.append(attn)
+            if self.ctc_out and i == min(self.ctc_layer, self.n_layers - 1):
+                ctc_logits = nn.Dense(self.ctc_classes, dtype=self.dtype,
+                                      name="ctc_linear")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        return x, (jnp.stack(attns, axis=1) if collect_attn else None)
+        attn_out = jnp.stack(attns, axis=1) if collect_attn else None
+        if self.ctc_out:
+            return x, attn_out, ctc_logits
+        return x, attn_out
 
 
 class EncoderPostprocessing(nn.Module):

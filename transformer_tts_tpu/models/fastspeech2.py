@@ -53,6 +53,11 @@ class FastSpeech2Output(NamedTuple):
     mask_frames: Optional[jnp.ndarray]      # semantic-mask frame mask
     sq_vae_loss: Optional[jnp.ndarray]
     sq_vae_perplexity: Optional[jnp.ndarray]
+    # CTC aux tap at mel frame rate (hp.CTC_training; train_Fastspeech2.py
+    # :220-224 — the reference's wiring is broken, ``ctc_outputs`` is
+    # undefined in that trainer; this defines the working contract: a
+    # mid-decoder Linear(d, vocab) tap, CTC'd against the text ids)
+    ctc_logits: Optional[jnp.ndarray] = None
 
 
 def _stack(encoder_type: str, **kw):
@@ -112,6 +117,8 @@ class FastSpeech2(nn.Module):
     semantic_mask: bool = False
     semantic_mask_phone: bool = False
     mask_probability: float = 0.06
+    # CTC auxiliary tap on the decoder stack (hp.CTC_training)
+    ctc_training: bool = False
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -202,10 +209,16 @@ class FastSpeech2(nn.Module):
             ff_kernel_size=self.ff_conv_kernel_size_decoder,
             concat_after=self.concat_after_decoder, dropout=self.dropout,
             spk_emb_dim=dec_spk, embedding=False, accent_emb=False,
+            ctc_out=self.ctc_training, ctc_classes=self.vocab_size,
             use_flash=self.use_flash, dtype=self.dtype, name="decoder")
-        d_output, attn_dec = decoder(
+        dec_res = decoder(
             va_out.x, va_out.mel_mask, spk_emb if dec_spk else None, None,
             train=train, collect_attn=collect_attn)
+        if self.ctc_training:
+            d_output, attn_dec, ctc_logits = dec_res
+        else:
+            d_output, attn_dec = dec_res
+            ctc_logits = None
 
         if self.postnet_pred:
             mel_pre, mel_post = PostConvNet(
@@ -234,7 +247,8 @@ class FastSpeech2(nn.Module):
             text_dur_predicted=va_out.text_dur_predicted,
             attn_enc=attn_enc, attn_dec=attn_dec,
             post_output=post_output, mask_frames=mask_frames,
-            sq_vae_loss=sq_vae_loss, sq_vae_perplexity=sq_vae_perplexity)
+            sq_vae_loss=sq_vae_loss, sq_vae_perplexity=sq_vae_perplexity,
+            ctc_logits=ctc_logits)
 
     # -- text-mel-mel integrate-training path -------------------------------
     def _run_post_model(self, mel_pre, mel_post, va_out, d_target,

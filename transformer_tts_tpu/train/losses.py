@@ -68,6 +68,24 @@ def stop_token_loss(logits: jnp.ndarray, target: jnp.ndarray,
     return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def ctc_aux_loss(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
+                 labels: jnp.ndarray, label_paddings: jnp.ndarray,
+                 blank_id: int = 0) -> jnp.ndarray:
+    """CTC auxiliary loss (train_Fastspeech2.py:220-224).
+
+    torch ``F.ctc_loss(..., blank=0)`` semantics with the default
+    ``reduction='mean'``: each utterance's negative log-likelihood is
+    divided by its LABEL length, then batch-averaged. ``logits``:
+    (B, T, K) raw (log-softmax applied internally, like the reference's
+    explicit ``F.log_softmax``); paddings are 1.0 at padded positions.
+    """
+    import optax
+    per = optax.ctc_loss(logits.astype(jnp.float32), logit_paddings,
+                         labels, label_paddings, blank_id=blank_id)
+    lab_len = jnp.maximum((1.0 - label_paddings).sum(-1), 1.0)
+    return (per / lab_len).mean()
+
+
 def mse_loss_arelbo(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """AR-ELBO surrogate (train_fastspeech2.py:85-88, arXiv:2102.08663)."""
     n = target.size // target.shape[0]

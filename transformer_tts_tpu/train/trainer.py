@@ -111,6 +111,7 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
         semantic_mask_phone=hp.semantic_mask_phone,
         mask_probability=hp.mask_probability,
         use_flash=hp.use_flash_attention,
+        ctc_training=hp.CTC_training,
         dtype=dtype)
 
 
@@ -206,6 +207,18 @@ def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
                 channel_wise=hp.channel_wise,
                 channel_weight=hp.channel_weight,
                 output_type=hp.output_type)
+            if hp.CTC_training:
+                # mid-decoder tap CTC'd against the text ids, weight 0.2,
+                # blank 0 (train_Fastspeech2.py:168,220-224); input
+                # lengths are mel lengths, label lengths text lengths
+                loss_ctc = L.ctc_aux_loss(
+                    out.ctc_logits,
+                    1.0 - mel_mask[:, 0, :].astype(jnp.float32),
+                    batch["text"],
+                    (batch["text"] == 0).astype(jnp.float32))
+                logs["loss_ctc"] = loss_ctc
+                total = total + 0.2 * loss_ctc
+                logs["loss_total"] = total
             return total, (logs, mutated)
 
         (loss, (logs, mutated)), grads = jax.value_and_grad(
