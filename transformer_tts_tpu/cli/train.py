@@ -39,16 +39,28 @@ def main(argv=None):
                         help="jax.distributed.initialize() for multi-host "
                              "pods (the mp.spawn/NCCL-rendezvous "
                              "equivalent, train_fastspeech2.py:352-374)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (TPU pods "
+                             "auto-detect; required for CPU/GPU multi-"
+                             "process, the MASTER_ADDR/MASTER_PORT "
+                             "equivalent of train_fastspeech2.py:357-362)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
 
     import jax
     if args.multihost:
-        jax.distributed.initialize()
+        # explicit rendezvous when given (CPU/GPU backends); TPU pods
+        # auto-detect all three from the platform
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     import jax.numpy as jnp
     from transformer_tts_tpu.config import load_hparams
     from transformer_tts_tpu.data import TTSDataset, DataLoader
     from transformer_tts_tpu.parallel.mesh import (
-        make_mesh, replicated, shard_batch)
+        make_mesh, make_global_batch, replicate_global)
     from transformer_tts_tpu.train import checkpoint as ckpt
     from transformer_tts_tpu.train.trainer import (
         build_fastspeech2, init_fastspeech2_state, init_transformer_state,
@@ -138,7 +150,9 @@ def main(argv=None):
 
     # ---- mesh ----
     mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
+    # replicated everywhere; in multi-process runs every process built the
+    # identical state from the same seed (the DDP broadcast equivalent)
+    state = replicate_global(state, mesh)
     # typed key carries the PRNG impl through fold_in/split; 'rbg'
     # (default) halves step cost vs threefry (dropout-mask generation
     # dominates — scripts/profile_train.py ablation)
@@ -195,7 +209,7 @@ def main(argv=None):
             t0 = time.time()
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and v.ndim > 0}
-            arrays = shard_batch(arrays, mesh)
+            arrays = make_global_batch(arrays, mesh)
             state, logs = step_fn(state, arrays, step_rng)
             global_step += 1
             timer.tick()

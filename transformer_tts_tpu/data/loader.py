@@ -22,7 +22,8 @@ from transformer_tts_tpu.data.sampler import (
 class DataLoader:
     def __init__(self, dataset, hp, *, sampler=None, num_workers: int = 8,
                  prefetch: int = 4, shard: int = 0, num_shards: int = 1,
-                 pad_batch: bool = True, batch_multiple: int = 1):
+                 pad_batch: bool = True, batch_multiple: int = 1,
+                 fixed_shapes: bool = None):
         self.dataset = dataset
         self.hp = hp
         self.num_workers = num_workers
@@ -43,6 +44,23 @@ class DataLoader:
             else:
                 raise ValueError("set hp.batch_size or hp.max_seqlen")
         self.sampler = sampler
+        # Multi-process SPMD requires IDENTICAL array shapes on every
+        # process at every step (each process's local rows join one
+        # global jax.Array): force every batch to one fixed
+        # (batch, text, mel) shape — the top buckets and the largest
+        # sampler batch. Single-process keeps per-batch bucketing.
+        if fixed_shapes is None:
+            fixed_shapes = num_shards > 1
+        self.fixed_shapes = fixed_shapes
+        if fixed_shapes:
+            from transformer_tts_tpu.data.batching import pick_batch_bucket
+            max_b = max(len(b) for b in self.sampler.all_indices)
+            self._fixed = dict(
+                text_len=max(hp.text_buckets),
+                mel_len=max(hp.length_buckets),
+                batch=pick_batch_bucket(max_b, multiple=batch_multiple))
+        else:
+            self._fixed = {}
 
     def __len__(self) -> int:
         batches = list(iter(self.sampler))
@@ -57,7 +75,7 @@ class DataLoader:
         else:
             samples = [self.dataset[i] for i in indices]
         return collate(samples, self.hp, pad_batch=self.pad_batch,
-                       batch_multiple=self.batch_multiple)
+                       batch_multiple=self.batch_multiple, **self._fixed)
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(iter(self.sampler))

@@ -58,3 +58,39 @@ def shard_batch(batch, mesh: Mesh):
     def put(x):
         return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
+
+
+def make_global_batch(batch, mesh: Mesh):
+    """Form the global per-step batch from this process's local arrays.
+
+    Single-process: plain ``shard_batch``. Multi-process (after
+    ``jax.distributed.initialize``): each process contributes its LOCAL
+    rows and the result is a global jax.Array sharded over the mesh's
+    devices — the SPMD equivalent of the DistributedSamplerWrapper
+    contract (each DDP rank feeds a disjoint slice of the global step,
+    datasets_fastspeech2.py:847-919). Requires every process to supply
+    identically-shaped local arrays (DataLoader ``fixed_shapes`` mode).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.tree.map(put, batch)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate host values onto every device of a (possibly
+    multi-process) mesh. Single-process: device_put; multi-process: each
+    process supplies the identical full value (same init seed contract)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    sharding = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape)
+    return jax.tree.map(put, tree)

@@ -65,7 +65,16 @@ _ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
 def _async_ckptr() -> ocp.StandardCheckpointer:
     global _ASYNC_CKPTR
     if _ASYNC_CKPTR is None:
-        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # rank-0-only saving (cli/train.py guards on process_index 0;
+            # the payload is host-snapshotted replicated data): restrict
+            # orbax's internal barriers to process 0 so the save does not
+            # block on processes that never call it
+            _ASYNC_CKPTR = ocp.StandardCheckpointer(
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0}))
+        else:
+            _ASYNC_CKPTR = ocp.StandardCheckpointer()
     return _ASYNC_CKPTR
 
 
