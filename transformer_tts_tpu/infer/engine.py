@@ -58,6 +58,14 @@ class TTSEngine:
         self.batch_size = int(batch_size)
         self.frames_per_phone = int(frames_per_phone)
         self.text_buckets = tuple(sorted(text_buckets or hp.text_buckets))
+        # x-vector models condition on a float speaker embedding per
+        # request (spk_emb_type='x_vector', spk_emb_dim floats);
+        # speaker-id models take int ids
+        self.is_xvector = bool(
+            hp.is_multi_speaker
+            and (hp.spk_emb_type or "").lower() == "x_vector")
+        self.spk_emb_dim = int(hp.spk_emb_dim or 0) if self.is_xvector \
+            else 0
 
         rng = jax.random.PRNGKey(0)
         if self.is_ar:
@@ -99,14 +107,46 @@ class TTSEngine:
             t0 = time.time()
             # multi-speaker models trace a distinct signature with the
             # speaker array present — warm that one (requests without a
-            # speaker fall back to it via speaker 0 anyway)
-            spk = (np.zeros((self.batch_size,), np.int32)
-                   if self.hp.is_multi_speaker else None)
+            # speaker fall back to it via speaker 0 / a zero x-vector)
+            spk = self._default_speakers() \
+                if self.hp.is_multi_speaker else None
             self._run_padded(np.ones((self.batch_size, b), np.int32),
                              np.ones((self.batch_size, b), np.int32),
                              spk)
             times[b] = time.time() - t0
         return times
+
+    def _default_speakers(self) -> np.ndarray:
+        if self.is_xvector:
+            return np.zeros((self.batch_size, self.spk_emb_dim), np.float32)
+        return np.zeros((self.batch_size,), np.int32)
+
+    def _fill_speakers(self, idxs, speakers) -> np.ndarray:
+        """Build the per-batch speaker array. Ids for speaker_id models;
+        (spk_emb_dim,) float vectors for x-vector models. ``None``
+        entries fall back to speaker 0 / the zero vector."""
+        spk = self._default_speakers()
+        if speakers is None:
+            return spk
+        for row, i in enumerate(idxs):
+            s = speakers[i]
+            if s is None:
+                continue
+            if self.is_xvector:
+                v = np.asarray(s, np.float32).reshape(-1)
+                if v.shape != (self.spk_emb_dim,):
+                    raise ValueError(
+                        f"x-vector model expects {self.spk_emb_dim}-d "
+                        f"float speaker embeddings, got shape {v.shape} "
+                        f"for request {i}")
+                spk[row] = v
+            else:
+                if np.ndim(s) != 0:
+                    raise ValueError(
+                        "speaker_id model expects integer speaker ids, "
+                        f"got array-shaped value for request {i}")
+                spk[row] = int(s)
+        return spk
 
     def _run_padded(self, text: np.ndarray, pos_text: np.ndarray,
                     speaker: Optional[np.ndarray] = None):
@@ -131,8 +171,12 @@ class TTSEngine:
         return mel, mel_len, durations
 
     def synthesize(self, texts: List[Sequence[int]],
-                   speakers: Optional[Sequence[int]] = None) -> List[dict]:
+                   speakers: Optional[Sequence] = None) -> List[dict]:
         """Synthesize a list of token-id sequences.
+
+        ``speakers``: per-request conditioning — int ids for speaker-id
+        models, (spk_emb_dim,) float vectors for x-vector models; None
+        entries default to speaker 0 / the zero vector.
 
         Returns one dict per utterance:
         ``{"mel": (T, mel_dim) float32, "durations": (L,) int32}`` with
@@ -153,12 +197,9 @@ class TTSEngine:
             spk = None
             if self.hp.is_multi_speaker:
                 # always pass the speaker array for multi-speaker models
-                # (default 0) — a None here would trace a SECOND
-                # signature the warmup never compiled
-                spk = np.zeros((bsz,), np.int32)
-                if speakers is not None:
-                    for row, i in enumerate(idxs):
-                        spk[row] = speakers[i]
+                # (default 0 / zero x-vector) — a None here would trace a
+                # SECOND signature the warmup never compiled
+                spk = self._fill_speakers(idxs, speakers)
             mel, mel_len, durations = self._run_padded(text, pos, spk)
             mel = np.asarray(mel, np.float32)   # device bf16 under amp
             mel_len = np.asarray(mel_len)
@@ -192,24 +233,34 @@ class TTSEngine:
 
         os.makedirs(out_dir, exist_ok=True)
         manifest = {"model": self.hp.model, "mel_dim": self.hp.mel_dim,
-                    "batch_size": self.batch_size, "buckets": {}}
+                    "batch_size": self.batch_size, "buckets": {},
+                    "speaker_input": (
+                        None if not self.hp.is_multi_speaker else
+                        ("x_vector" if self.is_xvector else "speaker_id"))}
         stem = "transformer_tts" if self.is_ar else "fastspeech2"
         for bucket in self.text_buckets:
             max_frames = self.max_frames_for(bucket)
 
-            def fn(text, pos_text, _mf=max_frames):
+            def fn(text, pos_text, spk=None, _mf=max_frames):
                 if self.is_ar:
                     return synthesize_transformer_tts(
-                        self.model, self.variables, text, pos_text,
+                        self.model, self.variables, text, pos_text, spk,
                         mean=self._mean, var=self._var,
                         max_steps=_mf // (self.hp.reduction_rate or 1))
                 return synthesize_fastspeech2(
                     self.model, self.variables, text, pos_text, _mf,
-                    mean=self._mean, var=self._var)
+                    spk, mean=self._mean, var=self._var)
 
             shape = jax.ShapeDtypeStruct(
                 (self.batch_size, bucket), jnp.int32)
-            exp = jexport.export(jax.jit(fn))(shape, shape)
+            if self.hp.is_multi_speaker:
+                spk_shape = jax.ShapeDtypeStruct(
+                    (self.batch_size, self.spk_emb_dim), jnp.float32) \
+                    if self.is_xvector else jax.ShapeDtypeStruct(
+                        (self.batch_size,), jnp.int32)
+                exp = jexport.export(jax.jit(fn))(shape, shape, spk_shape)
+            else:
+                exp = jexport.export(jax.jit(fn))(shape, shape)
             name = f"{stem}_b{self.batch_size}_l{bucket}.stablehlo"
             with open(os.path.join(out_dir, name), "wb") as fh:
                 fh.write(exp.serialize())

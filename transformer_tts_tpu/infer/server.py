@@ -91,7 +91,12 @@ class MicroBatcher:
 
     def close(self):
         self._stop.set()
-        self._q.put(None)          # wake the loop
+        try:
+            self._q.put_nowait(None)   # wake the loop
+        except queue.Full:
+            # queue saturated under overload: the loop is draining and
+            # will observe _stop on its next get timeout / iteration
+            pass
         self._thread.join(timeout=5)
 
     def _loop(self):
@@ -115,7 +120,9 @@ class MicroBatcher:
             try:
                 speakers = None
                 if any(p.speaker is not None for p in group):
-                    speakers = [p.speaker or 0 for p in group]
+                    # None entries default inside the engine (speaker 0
+                    # or the zero x-vector — `or 0` would mangle vectors)
+                    speakers = [p.speaker for p in group]
                 results = self._synth([p.text for p in group], speakers)
                 self.n_batches += 1
                 self.sum_batch_size += len(group)
