@@ -1,14 +1,21 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric: FastSpeech2 batch-1 NAR synthesis RTF on the parity
-config (d_model 384, 6+6 layers, 4 heads, mel 80 — utils/default.yaml),
-measured as jitted-forward wall time / synthesized audio seconds
-(22.05 kHz, hop 256 — LJSpeech framing, BASELINE.json config #1).
-Durations are teacher-forced to a realistic 6 frames/phone so the mel
-length (and thus the audio denominator) is defined for an untrained net.
+Headline metric (round-3 change, per the r2 verdict): FastSpeech2
+batch-1 NAR synthesis RTF measured SINGLE-SHOT — median wall time of one
+isolated dispatch+synth+host-readback, including the platform's fixed
+~30-40 ms sync overhead. This is the test_fastspeech2.py:203-204
+equivalent (what a caller actually waits). The marginal slope cost per
+chained utterance (the r2 headline — honest for saturated pipelines,
+optimistic for one-offs) is kept as ``rtf_marginal``.
 
-Also reported: training-step throughput in mel frames/sec/chip and the
-AR Transformer-TTS KV-cached decode RTF.
+Parity config: d_model 384, 6+6 layers, 4 heads, mel 80
+(utils/default.yaml); 22.05 kHz, hop 256 (LJSpeech framing,
+BASELINE.json config #1). Durations teacher-forced to 6 frames/phone so
+the audio denominator is defined for an untrained net.
+
+Also reported: training-step throughput in mel frames/sec/chip, the AR
+Transformer-TTS KV-cached decode RTF, and batched serving throughput
+(audio seconds generated per wall second at batch 16).
 
 TIMING METHODOLOGY (round-2 rewrite — the round-1 numbers were invalid):
 on this environment's 'axon' JAX platform, ``block_until_ready`` returns
@@ -109,11 +116,53 @@ def main():
     synth_chain(2)                     # compile + warm
     synth_s, synth_t1, _, synth_s_min = _slope_time(synth_chain, 16)
     audio_seconds = t * FRAME_SECONDS
-    rtf = synth_s / audio_seconds
+    rtf_marginal = synth_s / audio_seconds
     synth_flops = _flops_of(
         synth, (state.params, state.batch_stats, text, src_mask, d_target,
                 jnp.zeros((), jnp.float32)))
     _plausibility_guard("synthesis", synth_flops, synth_s)
+
+    # single-shot: one isolated call, host-closed — what a caller waits
+    # (includes the platform's fixed sync; test_fastspeech2.py:203-204)
+    import time as _time
+    singles = []
+    for _ in range(15):
+        t0 = _time.perf_counter()
+        synth_chain(1)
+        singles.append(_time.perf_counter() - t0)
+    single_s = float(np.median(singles))
+    rtf = single_s / audio_seconds
+
+    # batched serving throughput: batch-16 forward, chained; audio-s of
+    # generated speech per wall-second (the engine's saturated rate)
+    bs = 16
+    text_b = jnp.tile(text, (bs, 1))
+    pos_b = jnp.tile(pos_text, (bs, 1))
+    src_mask_b, _ = create_masks(pos_b, None)
+    d_target_b = jnp.tile(d_target, (bs, 1))
+
+    @jax.jit
+    def synth_b(params, batch_stats, text, src_mask, d_target, carry):
+        text = text + (carry * 0).astype(jnp.int32)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats, "vq_stats": {}},
+            text, src_mask, t, d_target, train=False)
+        return jnp.sum(out.mel_post)
+
+    def serve_chain(n):
+        carry = jnp.zeros((), jnp.float32)
+        for _ in range(n):
+            carry = synth_b(state.params, state.batch_stats, text_b,
+                            src_mask_b, d_target_b, carry)
+        return float(carry)
+
+    serve_chain(2)
+    serve_s, _, _, _ = _slope_time(serve_chain, 8)
+    serve_flops = _flops_of(
+        synth_b, (state.params, state.batch_stats, text_b, src_mask_b,
+                  d_target_b, jnp.zeros((), jnp.float32)))
+    _plausibility_guard("serve_batch16", serve_flops, serve_s)
+    serve_audio_s_per_s = (bs * audio_seconds) / serve_s
 
     # ---------------- training throughput ----------------
     b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
@@ -181,11 +230,14 @@ def main():
     sync_overhead_ms = max(synth_t1 - synth_s, 0.0) * 1000
 
     print(json.dumps({
-        "metric": "fastspeech2_synthesis_rtf",
+        "metric": "fastspeech2_synthesis_rtf_single_shot",
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
-        "synth_ms_per_utt": round(synth_s * 1000, 3),
+        "single_shot_ms": round(single_s * 1000, 3),
+        "rtf_marginal": round(rtf_marginal, 6),
+        "serve_audio_s_per_s": round(serve_audio_s_per_s, 1),
+        "synth_ms_per_utt_marginal": round(synth_s * 1000, 3),
         "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
         "train_step_ms": round(step_s * 1000, 2),
