@@ -29,6 +29,11 @@ optimizer = "Noam"
 warmup_step = 4000
 warmup_factor = 1.0
 max_seqlen = 10000
+# Frame-budget packing order: True (default) packs length-sorted for
+# ~12%/frame tighter buckets on TPU; the reference packs in script
+# order (datasets_fastspeech2.py:749-813). Set False for literal
+# reference batch-composition parity (PARITY.md "Data layer").
+sort_by_length = True
 max_epoch = 200
 save_per_epoch = 50
 clip = 1.0

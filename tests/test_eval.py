@@ -62,3 +62,18 @@ def test_evaluate_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "mean over 3" in out and "mcd=" in out
+
+
+def test_mcd_empty_mel_raises():
+    import numpy as np
+    import pytest
+    from transformer_tts_tpu.eval import mcd
+    with pytest.raises(ValueError, match="empty"):
+        mcd(np.zeros((0, 8), np.float32), np.zeros((4, 8), np.float32))
+
+
+def test_dtw_path_returns_int_indices():
+    import numpy as np
+    from transformer_tts_tpu.eval import dtw_path
+    p1, p2 = dtw_path(np.random.rand(3, 5))
+    assert p1.dtype.kind == "i" and p2.dtype.kind == "i"

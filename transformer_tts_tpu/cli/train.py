@@ -49,6 +49,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+    # persistent XLA compile cache: restarts/resumes skip the multi-
+    # minute train-step compiles (same cache the tests/bench share)
+    from transformer_tts_tpu.bench_utils import enable_compilation_cache
+    enable_compilation_cache()
     if args.multihost:
         # explicit rendezvous when given (CPU/GPU backends); TPU pods
         # auto-detect all three from the platform

@@ -55,7 +55,10 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
                  (acc[i - 1, j], i - 1, j),
                  (acc[i, j - 1], i, j - 1))
         _, i, j = min(steps, key=lambda s: s[0])
-    return np.asarray(p1[::-1]), np.asarray(p2[::-1])
+    # explicit dtype: an empty path would otherwise default to float64
+    # and break fancy indexing downstream
+    return (np.asarray(p1[::-1], dtype=np.int64),
+            np.asarray(p2[::-1], dtype=np.int64))
 
 
 def mcd(ref: np.ndarray, gen: np.ndarray, *, n_mfc: int = 13,
@@ -64,6 +67,9 @@ def mcd(ref: np.ndarray, gen: np.ndarray, *, n_mfc: int = 13,
 
     ``use_dtw``: None = auto (DTW when lengths differ).
     """
+    if ref.shape[0] == 0 or gen.shape[0] == 0:
+        raise ValueError("mcd: empty mel (an untrained duration "
+                         "predictor can synthesize 0 frames)")
     c1 = mel_cepstra(ref, n_mfc)
     c2 = mel_cepstra(gen, n_mfc)
     if use_dtw is None:
