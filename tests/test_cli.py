@@ -61,12 +61,20 @@ def test_train_synthesize_average_roundtrip(corpus, tmp_path):
     from transformer_tts_tpu.cli import average_checkpoints as cli_avg
     from transformer_tts_tpu.cli import teacher_forcing as cli_tf
 
-    hp_path, save_dir = write_hp(tmp_path, corpus)
+    hp_path, save_dir = write_hp(tmp_path, corpus, tb_images=True,
+                                 save_attention_per_step=2)
     cli_train.main(["--hp_file", hp_path])
     assert os.path.isdir(os.path.join(save_dir, "epoch_1"))
     assert os.path.isdir(os.path.join(save_dir, "epoch_2"))
     # snapshot exists -> synthesis auto-discovers config
     assert os.path.exists(os.path.join(save_dir, "hparams.py"))
+    # tb_images: attention/mel image summaries landed in the event file
+    import glob as _glob
+    ev = _glob.glob(os.path.join(save_dir, "logs",
+                                 "events.out.tfevents.*"))
+    assert ev and os.path.getsize(ev[0]) > 2000  # scalars alone ~ bytes
+    with open(ev[0], "rb") as fh:
+        assert b"\x89PNG" in fh.read()
 
     out_dir = str(tmp_path / "gen")
     cli_synth.main(["--load_name", save_dir, "--save", out_dir,

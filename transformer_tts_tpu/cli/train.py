@@ -167,6 +167,41 @@ def main(argv=None):
     import os as _os
     metrics = MetricsLogger(_os.path.join(hp.save_dir, hp.log_dir))
     timer = StepTimer()
+
+    image_fn = None
+    if hp.tb_images and arch == "text-mel" and not is_ar and not is_sq:
+        # attention maps + pred/target mel images (train.py:227-234's
+        # intended workflow): one collect_attn eval forward per dump
+        from transformer_tts_tpu.ops.masks import create_masks as _masks
+
+        @jax.jit
+        def image_fn(state, batch):
+            src_mask, mel_mask = _masks(batch["pos_text"],
+                                        batch["pos_mel"],
+                                        model="fastspeech2")
+            out = model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats,
+                 "vq_stats": state.vq_stats},
+                batch["text"], src_mask, batch["mel"].shape[1],
+                batch["alignment"], batch.get("f0"), batch.get("energy"),
+                mel_mask=mel_mask, spk_emb=batch.get("spk_emb"),
+                accent=batch.get("accent"),
+                hop_size=batch.get("hop_size"),
+                train=False, collect_attn=True)
+            mel_img = (out.mel_post if out.mel_post is not None
+                       else out.mel_pre)
+            return (out.attn_enc[0, 0, 0].astype(jnp.float32),
+                    out.attn_dec[0, 0, 0].astype(jnp.float32),
+                    mel_img[0].T.astype(jnp.float32))
+
+    def dump_images(step, state, arrays, batch):
+        enc_a, dec_a, mel_pred = jax.device_get(image_fn(state, arrays))
+        metrics.log_image(step, "attention/encoder_l0_h0", enc_a)
+        metrics.log_image(step, "attention/decoder_l0_h0", dec_a)
+        metrics.log_image(step, "mel/predicted", mel_pred)
+        metrics.log_image(step, "mel/target",
+                          np.asarray(batch["mel"][0]).T)
     if hp.profile_dir:
         from transformer_tts_tpu.utils import start_profiler
         start_profiler(hp.profile_dir)
@@ -217,6 +252,9 @@ def main(argv=None):
             state, logs = step_fn(state, arrays, step_rng)
             global_step += 1
             timer.tick()
+            if (image_fn is not None
+                    and global_step % hp.save_attention_per_step == 0):
+                dump_images(global_step, state, arrays, batch)
             if pending is not None:
                 emit(pending)
             pending = ((epoch, global_step, t0, logs)

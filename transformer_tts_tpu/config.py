@@ -153,6 +153,11 @@ _DEFAULTS: Dict[str, Any] = {
     "intermediate_layers_out": None,
     # --- misc --------------------------------------------------------------
     "save_attention_per_step": 1000,
+    # TensorBoard IMAGE summaries (attention maps + pred/target mels)
+    # every save_attention_per_step steps — the reference's intended
+    # visualization workflow (train.py:227-234, commented there); costs
+    # one extra collect_attn forward per dump, so opt-in
+    "tb_images": False,
     # --- TPU-specific (new; no reference equivalent) -----------------------
     "length_buckets": (128, 256, 512, 768, 1024, 1536, 2048),
     "text_buckets": (32, 64, 96, 128, 192, 256),

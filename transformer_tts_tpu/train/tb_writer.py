@@ -14,7 +14,14 @@ Wire formats implemented here:
   u32 masked-crc32c(payload); mask(c) = ((c>>15 | c<<17) + 0xa282ead8).
 * Event proto: 1=wall_time(double) 2=step(int64) 3=file_version(string)
   5=summary(message); Summary: repeated 1=value; Summary.Value:
-  1=tag(string) 2=simple_value(float).
+  1=tag(string) 2=simple_value(float) 4=image(message);
+  Summary.Image: 1=height 2=width 3=colorspace
+  4=encoded_image_string (a hand-encoded grayscale PNG — zlib is
+  stdlib; filter-0 scanlines).
+
+Image summaries serve the reference's intended visual-debugging
+workflow (attention-map dumps, train.py:227-234 commented;
+utils/plot_alingment.py) without matplotlib in the loop.
 """
 
 from __future__ import annotations
@@ -23,6 +30,9 @@ import os
 import socket
 import struct
 import time
+import zlib
+
+import numpy as np
 
 _CRC_TABLE = []
 
@@ -88,6 +98,48 @@ def _event(wall_time: float, step: int, *, file_version: str = None,
     return bytes(msg)
 
 
+def _png_chunk(kind: bytes, payload: bytes) -> bytes:
+    raw = kind + payload
+    return (struct.pack(">I", len(payload)) + raw
+            + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+
+def encode_png_gray(img: "np.ndarray") -> bytes:
+    """(H, W) float/int array -> 8-bit grayscale PNG bytes.
+
+    Floats are min-max normalized; uint8 passes through.
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = img.astype(np.float64)
+        lo, hi = float(img.min()), float(img.max())
+        scale = (hi - lo) if hi > lo else 1.0
+        img = ((img - lo) / scale * 255.0).round().astype(np.uint8)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
+    scanlines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _image_event(wall_time: float, step: int, tag: str,
+                 img: "np.ndarray") -> bytes:
+    png = encode_png_gray(img)
+    h, w = np.asarray(img).shape
+    image_msg = (b"\x08" + _varint(h)            # Image.height
+                 + b"\x10" + _varint(w)          # Image.width
+                 + b"\x18" + _varint(1)          # colorspace: grayscale
+                 + _field_bytes(4, png))         # encoded_image_string
+    val = _field_bytes(1, tag.encode()) + _field_bytes(4, image_msg)
+    summary = _field_bytes(1, val)
+    msg = (b"\x09" + struct.pack("<d", wall_time)
+           + b"\x10" + _varint(int(step))
+           + _field_bytes(5, summary))
+    return msg
+
+
 def _record(payload: bytes) -> bytes:
     header = struct.pack("<Q", len(payload))
     return (header + struct.pack("<I", _masked_crc(header))
@@ -110,6 +162,12 @@ class TBEventWriter:
     def add_scalars(self, step: int, scalars: dict):
         self._fh.write(_record(_event(time.time(), int(step),
                                       scalars=scalars)))
+        self._fh.flush()
+
+    def add_image(self, step: int, tag: str, img) -> None:
+        """Log a 2-D array (mel, attention map) as a grayscale image."""
+        self._fh.write(_record(_image_event(time.time(), int(step),
+                                            tag, img)))
         self._fh.flush()
 
     def close(self):

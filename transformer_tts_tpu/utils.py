@@ -151,6 +151,13 @@ class MetricsLogger:
                 step, {k: v for k, v in rec.items()
                        if k not in ("step", "time")})
 
+    def log_image(self, step: int, tag: str, img) -> None:
+        """2-D array -> TensorBoard image summary (attention maps / mel
+        spectrograms; the reference's intended visual-debugging
+        workflow, train.py:227-234)."""
+        if self._tb is not None:
+            self._tb.add_image(step, tag, img)
+
     def close(self):
         self._fh.close()
         if self._tb is not None:
