@@ -176,3 +176,37 @@ def test_conformer_sharded_step_matches_single_device():
         float(logs1["loss_total"]), float(logs2["loss_total"]), rtol=1e-5)
     np.testing.assert_allclose(
         float(logs1["grad_norm"]), float(logs2["grad_norm"]), rtol=1e-4)
+
+
+def test_multislice_mesh_step_matches_flat_mesh():
+    """2 'slices' x 4 devices ('dcn','data','model') == flat 8-way data
+    mesh: batches shard over ('dcn','data') jointly, grads hierarchically
+    reduce (ICI first, then the slice-count-sized DCN all-reduce)."""
+    from transformer_tts_tpu.parallel.mesh import make_multislice_mesh
+    hp = tiny_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    batch = make_batch(0)
+    rng = jax.random.PRNGKey(1)
+
+    flat = make_mesh()
+    s1, l1 = step_fn(jax.device_put(state, replicated(flat)),
+                     shard_batch(batch, flat), rng)
+
+    ms = make_multislice_mesh(2)
+    assert ms.devices.shape == (2, 4, 1)
+    assert ms.axis_names == ("dcn", "data", "model")
+    s2, l2 = step_fn(jax.device_put(state, replicated(ms)),
+                     shard_batch(batch, ms), rng)
+    # every batch row lands on exactly one device either way
+    sh = batch_sharding(ms)
+    assert sh.num_devices == 8
+
+    np.testing.assert_allclose(float(l1["loss_total"]),
+                               float(l2["loss_total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(l1["grad_norm"]),
+                               float(l2["grad_norm"]), rtol=1e-4)
+    _, l1b = step_fn(s1, shard_batch(batch, flat), rng)
+    _, l2b = step_fn(s2, shard_batch(batch, ms), rng)
+    np.testing.assert_allclose(float(l1b["loss_total"]),
+                               float(l2b["loss_total"]), rtol=1e-3)

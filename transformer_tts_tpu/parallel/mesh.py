@@ -43,8 +43,40 @@ def make_mesh(devices=None, data: Optional[int] = None,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis — over
+    ('dcn', 'data') jointly on a multi-slice mesh."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
+
+
+def make_multislice_mesh(n_slices: int, devices=None,
+                         model: int = 1) -> Mesh:
+    """('dcn', 'data', 'model') mesh for multi-slice data parallelism.
+
+    The leading axis spans slices (DCN-connected); the inner axes stay
+    within one slice (ICI). Axis ORDER is the whole design: with dcn
+    outermost and batches sharded over ('dcn', 'data')
+    (``batch_sharding``), GSPMD decomposes the gradient all-reduce
+    hierarchically — a large intra-slice reduce over ICI first, then a
+    1/ici_size-sized cross-slice all-reduce over DCN — so the slow
+    inter-slice network only ever carries the already-reduced tensor.
+    Tensor-parallel collectives (the 'model' axis, parallel/tp.py) stay
+    strictly intra-slice.
+
+    ``devices`` must be ordered slice-major (jax.devices() is, on real
+    multi-slice TPU; the CPU dryrun partitions the virtual devices).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % (n_slices * model) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by {n_slices} slices x "
+            f"model={model}")
+    data = n // (n_slices * model)
+    dev_array = np.asarray(devices).reshape(n_slices, data, model)
+    return Mesh(dev_array, axis_names=("dcn", "data", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
