@@ -233,18 +233,19 @@ def test_relative_mha_flash_path_matches_jnp():
     ref_out, _ = mod.apply(variables, x, x, x, pos, mask, train=False)
 
     # force the flash branch on CPU: interpret-mode kernel, no backend
-    # or length gating
-    import transformer_tts_tpu.ops.flash_attention as F
-    real = F.flash_attention_with_bias
+    # or length gating (r3: the module dispatches to the in-kernel
+    # rel-pos kernel, ops/flash_relpos.py)
+    import transformer_tts_tpu.ops.flash_relpos as FR
+    real = FR.flash_relpos_attention
 
-    def interp(qq, kk, vv, bb, kl, **kw):
+    def interp(*a, **kw):
         kw["interpret"] = True
-        return real(qq, kk, vv, bb, kl, **kw)
+        return real(*a, **kw)
 
     with mock.patch.object(A, "FLASH_MIN_KEY_LEN", 1), \
             mock.patch.object(jax, "default_backend",
                               lambda: "tpu"), \
-            mock.patch.object(F, "flash_attention_with_bias", interp):
+            mock.patch.object(FR, "flash_relpos_attention", interp):
         flash_out, _ = mod.apply(variables, x, x, x, pos, mask,
                                  train=False, k_len=k_len)
 

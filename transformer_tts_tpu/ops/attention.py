@@ -160,6 +160,15 @@ class MultiHeadAttention(nn.Module):
                     and cache is None and k_len is not None
                     and k.shape[2] >= FLASH_MIN_KEY_LEN
                     and jax.default_backend() != "cpu")
+        if flash_ok and mask is not None and mask.shape[1] != 1 \
+                and not causal:
+            # flash mask contract: k_len = contiguous prefix key mask;
+            # the only structured mask it can express is the causal
+            # triangle (causal=True). Anything else (e.g. fix_mask
+            # bands) must stay on the jnp path (k_len=None).
+            raise ValueError(
+                "k_len with a structured (B, T, T) mask requires "
+                "causal=True; pass k_len=None for arbitrary masks")
         if flash_ok:
             from transformer_tts_tpu.ops.flash_attention import (
                 flash_attention)
@@ -207,14 +216,20 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 class RelativeMultiHeadAttention(nn.Module):
     """Transformer-XL style relative MHA (Models/modules.py:201-283).
 
-    ``use_flash``: dispatch the softmax/dropout/PV core to the Pallas
-    kernel with the rel-shifted position scores streamed in as an
-    additive-bias input (``flash_attention_with_bias``). The (ac+bd)
-    logits math is identical to the jnp path; the (B,H,T,T) fp32
-    probabilities, the softmax temporaries, and the dropout mask are
-    never materialized in HBM (the bias itself is, in bf16 — the rel
-    term has no blockwise-computable form under the reference's
-    rel_shift semantics).
+    ``use_flash``: dispatch to the relative-position Pallas kernel
+    (ops/flash_relpos.py) — the (ac+bd) logits math is identical to the
+    jnp path, including the reference rel_shift's wrapped future-offset
+    values, but the bias, the probabilities, the softmax temporaries,
+    and the dropout mask never exist in HBM: each tile of
+    rel_shift(q_v P^T) is computed in-kernel from a contiguous slice of
+    the projected position table (round 2 materialized a (B,H,T,T)
+    bf16 bias as a kernel input — the conformer family's 2.2x tax).
+
+    Flash-path mask contract: ``k_len`` asserts the mask is a
+    CONTIGUOUS PREFIX key-padding mask ((B, 1, T), True for the first
+    k_len[b] keys). Passing a structured/band mask (mask.shape[1] > 1)
+    together with k_len is rejected at trace time; such masks must use
+    the jnp path (k_len=None).
     """
     heads: int
     d_model: int
@@ -252,20 +267,24 @@ class RelativeMultiHeadAttention(nn.Module):
         flash_ok = (self.use_flash and not collect_attn
                     and k_len is not None
                     and k.shape[2] >= FLASH_MIN_KEY_LEN
+                    and q_u.shape == k.shape        # self-attn only
+                    and p.shape[0] == 1             # shared pos table
                     and jax.default_backend() != "cpu")
+        if k_len is not None and mask is not None and mask.shape[1] != 1:
+            raise ValueError(
+                "k_len implies a contiguous prefix key mask; structured "
+                "masks (mask.shape[1] > 1) must use the jnp path "
+                "(pass k_len=None)")
         if flash_ok:
-            from transformer_tts_tpu.ops.flash_attention import (
-                flash_attention_with_bias)
-            bias = rel_shift(jnp.einsum(
-                "bhqd,bhkd->bhqk", q_v, p,
-                preferred_element_type=jnp.float32).astype(self.dtype))
+            from transformer_tts_tpu.ops.flash_relpos import (
+                flash_relpos_attention)
             seed = None
             if dropout_active:
                 seed = jax.random.bits(
                     self.make_rng("dropout"), dtype=jnp.uint32
                 ).astype(jnp.int32)
-            context = flash_attention_with_bias(
-                q_u, k, v, bias, k_len,
+            context = flash_relpos_attention(
+                q_u, q_v, k, v, p[0], k_len,
                 dropout_rate=self.dropout if dropout_active else 0.0,
                 dropout_seed=seed)
             probs = None
