@@ -4,7 +4,11 @@ Training shape of record: B=32, H=4, T=1024, d=96 (parity config at the
 32x1024 bench bucket). Measures forward and forward+backward, with and
 without attention-prob dropout, flash vs the jnp/XLA path.
 
-Run: python scripts/flash_ab.py [fwd|bwd|drop] [T ...]
+Run: python scripts/flash_ab.py [fwd|bwd|drop|relpos] [T ...]
+
+``relpos``: the conformer attention core — the r3 in-kernel
+relative-position kernel (ops/flash_relpos.py) vs the r2
+bias-materialization path (rel_shift einsum in XLA + bias-input flash).
 """
 
 import functools
@@ -89,6 +93,41 @@ def main():
                 jnp.sum(g.astype(jnp.float32)) for g in
                 jax.grad(loss_xla_d, argnums=(0, 1, 2))(q, k, v, kl)
             ).astype(jnp.bfloat16))
+        if "relpos" in modes:
+            from transformer_tts_tpu.ops.attention import rel_shift
+            from transformer_tts_tpu.ops.flash_attention import (
+                flash_attention_with_bias)
+            from transformer_tts_tpu.ops.flash_relpos import (
+                flash_relpos_attention)
+            qv = jnp.asarray(rs.randn(b, h, t, d), jnp.bfloat16)
+            p_tab = jnp.asarray(rs.randn(h, t, d), jnp.bfloat16)
+
+            def loss_new(q, k, v, kl):
+                o = flash_relpos_attention(q, qv, k, v, p_tab, kl,
+                                           dropout_rate=0.1,
+                                           dropout_seed=3)
+                return jnp.sum(o.astype(jnp.float32))
+
+            def loss_old(q, k, v, kl):
+                bias = rel_shift(jnp.einsum(
+                    "bhqd,bhkd->bhqk", qv,
+                    jnp.broadcast_to(p_tab[None], qv.shape),
+                    preferred_element_type=jnp.float32).astype(q.dtype))
+                o = flash_attention_with_bias(q, k, v, bias, kl,
+                                              dropout_rate=0.1,
+                                              dropout_seed=3)
+                return jnp.sum(o.astype(jnp.float32))
+
+            for name, f in (("relpos in-kernel", loss_new),
+                            ("relpos bias-HBM", loss_old)):
+                run_pair(f"{name} fwd",
+                         lambda q, k, v, kl, f=f:
+                         f(q, k, v, kl).astype(jnp.bfloat16))
+                run_pair(f"{name} fwd+bwd",
+                         lambda q, k, v, kl, f=f: sum(
+                             jnp.sum(g.astype(jnp.float32)) for g in
+                             jax.grad(f, argnums=(0, 1, 2))(q, k, v, kl)
+                         ).astype(jnp.bfloat16))
         if "blocks" in modes:
             # (block_q, block_k) sweep at the training config
             # (fwd+bwd, dropout 0.1 — what the 6-layer decoder pays)

@@ -202,6 +202,8 @@ def test_ar_transformer_cli_path(corpus, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
 
 
+# weekly tier: tacotron2 decoder covered per-module by test_aux_models.py::test_tacotron2_decoder_teacher_forced
+@pytest.mark.weekly
 def test_tacotron2_decoder_cli_path(corpus, tmp_path):
     """decoder_type=tacotron2 train -> synth roundtrip
     (Models/transformer.py:86-87 / Models/decoder.py:58-332)."""
@@ -267,6 +269,8 @@ def test_wav_flag_cli_smoke(corpus, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "0.npy"))
 
 
+# weekly tier: the bf16->f32 save cast is covered by test_serving/engine paths; this re-trains a full amp model
+@pytest.mark.weekly
 def test_synthesize_amp_outputs_are_float32_npy(corpus, tmp_path):
     """Under amp the device mel is bf16; saved .npy must be float32
     (raw-bf16 npy reads back as an uninterpretable void dtype)."""

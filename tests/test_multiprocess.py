@@ -104,6 +104,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert r0["step"] == single["step"] == 3
 
 
+# weekly tier: CLI wiring over jax.distributed; the default-tier parity test + the dryrun multiprocess stage cover the distributed math
+@pytest.mark.weekly
 def test_two_process_train_cli(tmp_path):
     """cli/train.py --multihost end to end on 2 processes: distributed
     init, process-index batch sharding (shard_batches), fixed-shape

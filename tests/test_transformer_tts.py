@@ -113,6 +113,8 @@ def test_synthesize_transformer_tts_shapes_and_stop():
         np.testing.assert_array_equal(np.asarray(mel[0, n:]), 0.0)
 
 
+# weekly tier: GST covered by test_models.py::test_gst_training_path_uses_target_mel + test_cli.py::test_gst_ref_mel_cli_path
+@pytest.mark.weekly
 def test_gst_style_changes_encoding():
     hp = ar_hp(gst=True)
     model, state = init_transformer_state_gst(hp)
