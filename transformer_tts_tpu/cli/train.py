@@ -239,9 +239,25 @@ def main(argv=None):
         metrics.log(p_step, steps_per_sec=timer.steps_per_sec,
                     **{k: v for k, v in p_logs.items() if np.ndim(v) == 0})
         loss = float(p_logs["loss_total"])
-        assert np.isfinite(loss) or arch == "mel-mel", "loss is nan"
+        if not np.isfinite(loss):
+            # the mel-mel trainer SKIPS non-finite steps in-graph
+            # (post_trainers.py NaN-skip, train_fastspeech2_dev.py:
+            # 234-246) — count and surface them instead of silently
+            # printing nans forever; a permanently-NaN run still dies
+            if arch != "mel-mel":
+                raise AssertionError("loss is nan")
+            nan_skips["total"] += 1
+            nan_skips["consecutive"] += 1
+            print(f"skipped NaN step ({nan_skips['total']} total, "
+                  f"{nan_skips['consecutive']} consecutive)")
+            assert nan_skips["consecutive"] < 50, (
+                f"{nan_skips['consecutive']} consecutive NaN steps — "
+                "the run is permanently non-finite")
+        else:
+            nan_skips["consecutive"] = 0
 
     pending = None
+    nan_skips = {"total": 0, "consecutive": 0}
     for epoch in range(start_epoch, hp.max_epoch):
         t_epoch = time.time()
         for batch in loader:
