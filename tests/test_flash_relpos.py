@@ -38,7 +38,9 @@ def test_forward_matches_oracle(t, bq, bk):
                                atol=2e-6)
 
 
-@pytest.mark.parametrize("t,bq,bk", [(48, 16, 16), (37, 16, 32)])
+@pytest.mark.parametrize("t,bq,bk", [(48, 16, 16), (37, 16, 32),
+                                     (48, 16, 64),   # fused bwd (n_k==1)
+                                     (30, 32, 32)])  # fused, padded t
 def test_all_gradients_match_oracle(t, bq, bk):
     qu, qv, k, v, p, k_len, g = _data(t, seed=1)
 

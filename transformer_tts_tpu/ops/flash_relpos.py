@@ -93,10 +93,12 @@ def _scatter_w(ds_masked: jnp.ndarray, base: int, wp: int) -> jnp.ndarray:
     """
     n = ds_masked.shape[0]
     x = jnp.pad(ds_masked, ((0, 0), (0, wp - ds_masked.shape[1])))
-    f = _flip_rows(x, out_dtype=x.dtype)       # R @ pad(ds)
+    # flip on the MXU in the narrow dtype, but ROLL in fp32: the
+    # hardware dynamic-rotate only handles 32-bit element types
+    f = _flip_rows(x, out_dtype=jnp.float32)   # R @ pad(ds)
     g = pltpu.roll(f, 0, 1, stride=1, stride_axis=0)
     # U commutes with R (lanes vs rows): apply it here, flip later
-    return pltpu.roll(g, (base - n + 1) % wp, 1)
+    return pltpu.roll(g, (base - n + 1) % wp, 1).astype(ds_masked.dtype)
 
 
 def _slice_geometry(block_q, block_k, seq_len, t_q_pad):
@@ -445,6 +447,103 @@ def _dkdv_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, qv_ref,
         dp_out_ref[0] = dp_acc_ref[:].astype(dp_out_ref.dtype)
 
 
+def _fused_bwd_kernel(k_len_ref, seed_ref, q_ref, k_ref, v_ref, qv_ref,
+                      qvs_ref, p_ref, do_ref, lse_ref, delta_ref,
+                      dq_out_ref, dqv_out_ref, dqvs_out_ref,
+                      dk_out_ref, dv_out_ref, dp_out_ref,
+                      dk_acc_ref, dv_acc_ref, dp_acc_ref, *,
+                      sm_scale: float, dropout_rate: float, seq_len: int,
+                      t_q_pad: int):
+    """Single-k-block FUSED backward. Grid: (B*H, num_q_blocks), qi
+    sequential. With K/V resident as full blocks, the expensive tile
+    recompute (scores, in-kernel bias + its 4 diagonal rolls, probs, dS
+    + its 2 scatter rolls) happens ONCE per q tile instead of once in
+    each of the dq and dk/dv kernels — the rolls are the backward's
+    dominant VPU cost. dq/dq_v/dq_vs fall out per tile (no k
+    accumulation needed); dk/dv/dP accumulate in VMEM scratch and dump
+    at the last q block."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    n_q = pl.num_programs(1)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]          # == full t_k
+    wp = _slice_geometry(block_q, block_k, seq_len, t_q_pad)[0]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+        dp_acc_ref[:] = jnp.zeros_like(dp_acc_ref)
+
+    k_len = k_len_ref[bh]
+    q0 = qi * block_q
+    k0 = jnp.int32(0)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bd, p1, p2 = _bd_tile(qv_ref[0], qvs_ref[0], p_ref, q0, k0,
+                          block_q=block_q, block_k=block_k,
+                          seq_len=seq_len, t_q_pad=t_q_pad)
+    s = (s + bd) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = col < k_len
+    lse = lse_ref[0, 0][:, None]
+    prob = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    keep = None
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref[0], bh, q0, k0,
+                          (block_q, block_k), dropout_rate)
+    p_dropped = prob * keep if keep is not None else prob
+    dv_acc_ref[:] += jax.lax.dot_general(
+        p_dropped.astype(do_ref.dtype), do_ref[0],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = dp * keep
+    ds = prob * (dp - delta_ref[0, 0][:, None]) * sm_scale
+
+    dq_out_ref[0] = jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_out_ref.dtype)
+    dk_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    w1, w2 = _split_ds(ds, q0, k0, block_q, block_k, seq_len, t_q_pad,
+                       p1.dtype)
+    dq_v = _flip_rows(jax.lax.dot_general(
+        w1, p1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    dq_vs = _flip_rows(jax.lax.dot_general(
+        w2, p2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    dqv_out_ref[0] = dq_v.astype(dqv_out_ref.dtype)
+    dqvs_out_ref[0] = dq_vs.astype(dqvs_out_ref.dtype)
+
+    _, past_base, _, fut_base = _slice_geometry(
+        block_q, block_k, seq_len, t_q_pad)
+    s1 = pl.multiple_of(past_base + k0 - q0 - block_q, 8)
+    s2 = pl.multiple_of(fut_base + k0 - q0 - block_q, 8)
+    qv_f = _flip_rows(qv_ref[0], out_dtype=qv_ref.dtype)
+    qvs_f = _flip_rows(qvs_ref[0], out_dtype=qvs_ref.dtype)
+    dp_acc_ref[pl.ds(s1, wp), :] += jax.lax.dot_general(
+        w1, qv_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp_acc_ref[pl.ds(s2, wp), :] += jax.lax.dot_general(
+        w2, qvs_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_out_ref[0] = dk_acc_ref[:].astype(dk_out_ref.dtype)
+        dv_out_ref[0] = dv_acc_ref[:].astype(dv_out_ref.dtype)
+        dp_out_ref[0] = dp_acc_ref[:].astype(dp_out_ref.dtype)
+
+
 def _relpos_bwd(q_u, q_v, q_vs, k, v, p_big, k_len, seed, out, lse, g, *,
                 seq_len, sm_scale, dropout_rate, block_q, block_k,
                 interpret):
@@ -469,6 +568,57 @@ def _relpos_bwd(q_u, q_v, q_vs, k, v, p_big, k_len, seed, out, lse, g, *,
 
     common = dict(sm_scale=sm_scale, dropout_rate=dropout_rate,
                   seq_len=seq_len, t_q_pad=t_q)
+
+    if n_k == 1:
+        # fused single-pass backward (the default full-row-K case)
+        fq = pl.BlockSpec((1, block_q, d),
+                          lambda bh, qi, *_: (bh, qi, 0))
+        fk = pl.BlockSpec((1, block_k, d),
+                          lambda bh, qi, *_: (bh, 0, 0))
+        frow = pl.BlockSpec((1, 1, block_q),
+                            lambda bh, qi, *_: (bh, 0, qi))
+        fp = pl.BlockSpec((1, lp, d),
+                          lambda bh, qi, *_, _h=h:
+                          (jax.lax.rem(bh, _h), 0, 0))
+        full = pl.BlockSpec((1, block_k, d), lambda bh, qi, *_: (bh, 0, 0))
+        dq, dqv, dqvs, dk, dv, dp_big = pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, **common),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, n_q),
+                in_specs=[fq, fk, fk, fq, fq, fp, fq, frow, frow],
+                out_specs=[
+                    fq, fq, fq, full, full,
+                    pl.BlockSpec((1, lp, d), lambda bh, qi, *_: (bh, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((lp, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, t_q, d), q_u.dtype),
+                jax.ShapeDtypeStruct((bh, t_q, d), q_v.dtype),
+                jax.ShapeDtypeStruct((bh, t_q, d), q_vs.dtype),
+                jax.ShapeDtypeStruct((bh, t_k, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, t_k, d), v.dtype),
+                jax.ShapeDtypeStruct((bh, lp, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(k_len_bh, seed_arr, q_r, k_r, v_r, qv_r, qvs_r, p_big, do_r,
+          lse_r, delta_r)
+        dq = dq.reshape(b, h, t_q, d)
+        dqv = dqv.reshape(b, h, t_q, d)
+        dqvs = dqvs.reshape(b, h, t_q, d)
+        dk = dk.reshape(b, h, t_k, d)
+        dv = dv.reshape(b, h, t_k, d)
+        dp_big = dp_big.reshape(b, h, lp, d).sum(axis=0).astype(
+            p_big.dtype)
+        return dq, dqv, dqvs, dk, dv, dp_big
+
     q_spec = pl.BlockSpec((1, block_q, d),
                           lambda bh, qi, ki, *_: (bh, qi, 0))
     k_spec = pl.BlockSpec((1, block_k, d),
