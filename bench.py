@@ -162,7 +162,34 @@ def main():
         synth_b, (state.params, state.batch_stats, text_b, src_mask_b,
                   d_target_b, jnp.zeros((), jnp.float32)))
     _plausibility_guard("serve_batch16", serve_flops, serve_s)
-    serve_audio_s_per_s = (bs * audio_seconds) / serve_s
+    # the device-forward marginal slope: no sync, no mel host transfer,
+    # no request handling — an upper bound for a pipelined async server
+    serve_fwd_marginal = (bs * audio_seconds) / serve_s
+
+    # headline serving number = the REAL TTSEngine end to end (orbax
+    # restore -> AOT warmup -> batched synthesize incl. request padding
+    # + mel transfer back to host), matching scripts/serve_bench.py;
+    # isolated host-closed calls — what the blocking engine delivers
+    import os as _os
+    import tempfile as _tempfile
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    from transformer_tts_tpu.train import checkpoint as _ckpt
+    eng_dir = _tempfile.mkdtemp(prefix="bench_engine_")
+    _ckpt.save_checkpoint(eng_dir, state, 1, with_optimizer=False)
+    with open(_os.path.join(eng_dir, "hparams.py"), "w") as fh:
+        fh.write("amp = True\nbatch_size = 16\n")
+    engine = TTSEngine(eng_dir, batch_size=bs, frames_per_phone=t // l,
+                       text_buckets=(l,))
+    engine.warmup()
+    texts16 = [list(rs.randint(1, hp.vocab_size, l)) for _ in range(bs)]
+    engine.synthesize(texts16)
+    eng_times = []
+    for _ in range(9):
+        t0 = _time.perf_counter()
+        engine.synthesize(texts16)
+        eng_times.append(_time.perf_counter() - t0)
+    engine_s = float(np.median(eng_times))
+    serve_audio_s_per_s = (bs * audio_seconds) / engine_s
 
     # ---------------- training throughput ----------------
     b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
@@ -237,6 +264,8 @@ def main():
         "single_shot_ms": round(single_s * 1000, 3),
         "rtf_marginal": round(rtf_marginal, 6),
         "serve_audio_s_per_s": round(serve_audio_s_per_s, 1),
+        "serve_engine_ms_per_batch16": round(engine_s * 1000, 1),
+        "serve_fwd_marginal_audio_s_per_s": round(serve_fwd_marginal, 1),
         "synth_ms_per_utt_marginal": round(synth_s * 1000, 3),
         "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
