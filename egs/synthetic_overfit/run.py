@@ -56,12 +56,13 @@ def phone_tables(rs: np.random.RandomState):
     return profiles, durations, f0, energy
 
 
-def build_corpus(workdir: str, n_utts: int = 64, seed: int = 0):
+def build_corpus(workdir: str, n_utts: int = 64, seed: int = 0,
+                 min_phones: int = 6, max_phones: int = 14):
     rs = np.random.RandomState(seed)
     profiles, durs, f0s, energies = phone_tables(np.random.RandomState(7))
     lines = []
     for i in range(n_utts):
-        n_phones = rs.randint(6, 14)
+        n_phones = rs.randint(min_phones, max_phones)
         phones = rs.randint(1, VOCAB, n_phones)
         d = durs[phones]
         mel = np.repeat(profiles[phones], d, axis=0)
@@ -79,7 +80,8 @@ def build_corpus(workdir: str, n_utts: int = 64, seed: int = 0):
         fh.write("\n".join(lines[:8]) + "\n")
 
 
-def write_hparams(workdir: str, save_dir: str, max_epoch: int) -> str:
+def write_hparams(workdir: str, save_dir: str, max_epoch: int,
+                  extra: dict | None = None) -> str:
     cfg = dict(
         architecture="text-mel", model="Fastspeech2",
         vocab_size=VOCAB, mel_dim=MEL_DIM,
@@ -101,6 +103,7 @@ def write_hparams(workdir: str, save_dir: str, max_epoch: int) -> str:
         save_dir=save_dir, log_every=20, num_workers=2,
         text_buckets=(16,), length_buckets=(64,),
     )
+    cfg.update(extra or {})
     path = os.path.join(workdir, "hparams.py")
     with open(path, "w") as fh:
         fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
@@ -130,6 +133,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/tts_synthetic_overfit")
     ap.add_argument("--max_epoch", type=int, default=400)
+    ap.add_argument("--family", choices=("fs2", "conformer"),
+                    default="fs2",
+                    help="conformer: conformer encoder+decoder on LONG "
+                         "utterances (mel buckets past FLASH_MIN_KEY_LEN "
+                         "so the in-kernel relpos flash path is what "
+                         "actually trains)")
+    ap.add_argument("--no_flash", action="store_true",
+                    help="force the jnp attention path (kernel-numerics "
+                         "control for A/B against the flash kernels)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir afterwards")
     args = ap.parse_args(argv)
@@ -137,7 +149,19 @@ def main(argv=None):
     if os.path.exists(args.workdir):
         shutil.rmtree(args.workdir)
     os.makedirs(args.workdir)
-    build_corpus(args.workdir)
+    extra = {}
+    if args.family == "conformer":
+        # ~72-96 phones x mean 3.5 frames -> 250-340 mel frames; the
+        # 384 bucket keeps every padded batch past FLASH_MIN_KEY_LEN
+        # (=256), so training exercises ops/flash_relpos.py end to end
+        build_corpus(args.workdir, min_phones=72, max_phones=96)
+        extra = dict(encoder_type="conformer", decoder_type="conformer",
+                     batch_size=8, text_buckets=(96,),
+                     length_buckets=(384,))
+    else:
+        build_corpus(args.workdir)
+    if args.no_flash:
+        extra["use_flash_attention"] = False
 
     from transformer_tts_tpu.cli import average_checkpoints as cli_avg
     from transformer_tts_tpu.cli import synthesize as cli_synth
@@ -145,7 +169,7 @@ def main(argv=None):
 
     # ---- untrained baseline: same arch, 1 optimizer step ----
     base_dir = os.path.join(args.workdir, "ckpt_baseline")
-    hp0 = write_hparams(args.workdir, base_dir, max_epoch=1)
+    hp0 = write_hparams(args.workdir, base_dir, max_epoch=1, extra=extra)
     cli_train.main(["--hp_file", hp0, "--max_steps", "1"])
     base_gen = os.path.join(args.workdir, "gen_baseline")
     cli_synth.main(["--load_name", os.path.join(base_dir, "epoch_1"),
@@ -155,7 +179,8 @@ def main(argv=None):
 
     # ---- real training run ----
     save_dir = os.path.join(args.workdir, "ckpt")
-    hp = write_hparams(args.workdir, save_dir, max_epoch=args.max_epoch)
+    hp = write_hparams(args.workdir, save_dir, max_epoch=args.max_epoch,
+                       extra=extra)
     cli_train.main(["--hp_file", hp])
 
     # ---- checkpoint averaging (README.md:22-23) ----
@@ -191,6 +216,7 @@ def main(argv=None):
         "mel_l1_collapse_x": round(baseline["mel_l1"] / trained["mel_l1"],
                                    1),
         "epochs": args.max_epoch,
+        "family": args.family,
         "loss_curve": curve,
     }
     print(json.dumps(summary), flush=True)
