@@ -49,7 +49,7 @@ def main(argv=None):
             else epochs[0]
         end = args.end_epoch if args.end_epoch is not None else epochs[-1]
     _, out_path = ckpt.average_checkpoints(
-        args.save_dir, start, end, state.params)
+        args.save_dir, start, end, state.params, state=state)
     print(f"averaged epochs [{start}, {end}] -> {out_path}")
 
 

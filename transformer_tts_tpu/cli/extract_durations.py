@@ -89,8 +89,9 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(0)
     model, state = init_transformer_state(hp, rng)
-    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    restored = ckpt.restore_variables(load_dir, state, epoch=args.epoch)
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
     r = model.reduction_rate
 
     @jax.jit

@@ -107,9 +107,10 @@ def main(argv=None):
     else:
         model, state = init_fastspeech2_state(
             hp, rng, enable_post_model=is_integrate)
-    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
-    variables = {"params": params, "batch_stats": state.batch_stats,
-                 "vq_stats": state.vq_stats}
+    # full variable restore: conformer/GST BatchNorm running stats must
+    # come from the checkpoint, not from init (test_fastspeech2.py:49-52
+    # restores the whole state_dict)
+    variables = ckpt.restore_variables(load_dir, state, epoch=args.epoch)
 
     post_model = post_variables = None
     if args.post_model is not None:

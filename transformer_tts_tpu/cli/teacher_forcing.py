@@ -43,8 +43,10 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(0)
     model, state = init_fastspeech2_state(hp, rng)
-    params = ckpt.restore_params(load_dir, state.params, epoch=args.epoch)
-    state = state.replace(params=params)
+    variables = ckpt.restore_variables(load_dir, state, epoch=args.epoch)
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"],
+                          vq_stats=variables["vq_stats"])
     eval_fn = make_fastspeech2_eval_step(model, hp)
 
     normalizer = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim)

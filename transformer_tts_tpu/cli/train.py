@@ -123,10 +123,10 @@ def main(argv=None):
             "mel-mel training needs hp.pretrain_model (frozen teacher)"
         teacher = build_fastspeech2(hp)
         _, t_state = init_fastspeech2_state(hp, rng)
-        t_params = ckpt.restore_params(hp.pretrain_model, t_state.params)
-        teacher_variables = {"params": t_params,
-                             "batch_stats": t_state.batch_stats,
-                             "vq_stats": t_state.vq_stats}
+        # the teacher runs frozen at eval — its BatchNorm running stats
+        # must be the trained ones (restore_variables, not params-only)
+        teacher_variables = ckpt.restore_variables(
+            hp.pretrain_model, t_state)
         model, state = init_post_state(hp, rng, teacher)
         step_fn = make_meltomel_train_step(teacher, teacher_variables,
                                            model, hp)
@@ -142,8 +142,10 @@ def main(argv=None):
     # ---- pretrain / resume ----
     start_epoch = 0
     if arch != "mel-mel" and hp.pretrain_model is not None:
-        state = state.replace(params=ckpt.restore_params(
-            hp.pretrain_model, state.params))
+        restored = ckpt.restore_variables(hp.pretrain_model, state)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              vq_stats=restored["vq_stats"])
         print(f"loaded pretrain params from {hp.pretrain_model}")
     if hp.loaded_epoch is not None:
         load_dir = hp.loaded_dir or hp.save_dir

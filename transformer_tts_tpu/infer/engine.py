@@ -74,11 +74,11 @@ class TTSEngine:
             model, state = init_transformer_state(hp, rng)
         else:
             model, state = init_fastspeech2_state(hp, rng)
-        params = ckpt.restore_params(load_dir, state.params, epoch=epoch)
         self.model = model
-        self.variables = {"params": params,
-                          "batch_stats": state.batch_stats,
-                          "vq_stats": state.vq_stats}
+        # full restore: BatchNorm running stats (conformer/GST) must be
+        # the trained ones, not init — see checkpoint.restore_variables
+        self.variables = ckpt.restore_variables(load_dir, state,
+                                                epoch=epoch)
         mean, var = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim).arrays()
         self._mean = jnp.asarray(mean) if mean is not None else None
         self._var = jnp.asarray(var) if var is not None else None

@@ -154,10 +154,7 @@ def restore_checkpoint(save_dir: str, state, epoch: Optional[int] = None):
     return new_state, int(restored["epoch"])
 
 
-def restore_params(path_or_dir: str, params_template,
-                   epoch: Optional[int] = None):
-    """Params-only restore (pretrain loading / synthesis)."""
-    wait_for_saves()
+def _resolve_path(path_or_dir: str, epoch: Optional[int]) -> str:
     path = path_or_dir
     if epoch is not None or not os.path.basename(
             path_or_dir).startswith(("epoch_", "average_")):
@@ -165,6 +162,20 @@ def restore_params(path_or_dir: str, params_template,
         if epochs:
             e = epoch if epoch is not None else epochs[-1]
             path = _epoch_dir(path_or_dir, e)
+    return path
+
+
+def restore_params(path_or_dir: str, params_template,
+                   epoch: Optional[int] = None):
+    """Params-only restore (pretrain loading / synthesis).
+
+    NOTE: models with running statistics (conformer/GST BatchNorm,
+    SQ-VAE codebook EMAs) must use :func:`restore_variables` at
+    inference — pairing restored params with init-time ``batch_stats``
+    silently mis-normalizes every BatchNorm at eval.
+    """
+    wait_for_saves()
+    path = _resolve_path(path_or_dir, epoch)
     ckptr = ocp.StandardCheckpointer()
     template = {"params": params_template}
     restored = ckptr.restore(
@@ -174,6 +185,44 @@ def restore_params(path_or_dir: str, params_template,
         # on-disk keys are ignored only with partial restore:
     ) if _is_params_only(path) else _restore_subtree(path, template)
     return restored["params"]
+
+
+def restore_variables(path_or_dir: str, state,
+                      epoch: Optional[int] = None) -> dict:
+    """Restore the full inference variable dict from a checkpoint.
+
+    Returns ``{"params", "batch_stats", "vq_stats"}`` with every key
+    that exists on disk restored and the rest taken from the template
+    ``state`` (fresh init). The torch reference restores the whole
+    ``state_dict`` — params AND BatchNorm running stats — in one call
+    (test_fastspeech2.py:49-52); this is that contract for the
+    synthesis/serving side. Legacy params-only averaged snapshots fall
+    back to init statistics with a warning (re-run
+    ``cli.average_checkpoints`` to regenerate them with stats).
+    """
+    wait_for_saves()
+    path = _resolve_path(path_or_dir, epoch)
+    out = {"params": None, "batch_stats": state.batch_stats,
+           "vq_stats": state.vq_stats}
+    full = ocp.PyTreeCheckpointer().restore(path)
+    out["params"] = jax.tree.map(
+        lambda t, _: t, _follow(full["params"], state.params),
+        state.params)
+    for k in ("batch_stats", "vq_stats"):
+        tmpl = getattr(state, k)
+        if not jax.tree.leaves(tmpl):
+            continue                       # model keeps no such stats
+        if isinstance(full, dict) and full.get(k):
+            out[k] = jax.tree.map(
+                lambda t, _: t, _follow(full[k], tmpl), tmpl)
+        else:
+            import warnings
+            warnings.warn(
+                f"{path} is a params-only snapshot but the model has "
+                f"running statistics ({k}); using init-time statistics. "
+                "Regenerate the snapshot with cli.average_checkpoints "
+                "to carry them.")
+    return out
 
 
 def _is_params_only(path: str) -> bool:
@@ -215,32 +264,50 @@ def prune_checkpoints(save_dir: str, current_epoch: int, max_epoch: int,
 
 
 def average_checkpoints(save_dir: str, start_epoch: int, end_epoch: int,
-                        params_template, *, out_name: Optional[str] = None):
+                        params_template, *, state=None,
+                        out_name: Optional[str] = None):
     """Mean of params over [start_epoch, end_epoch] (average_checkpoints.py).
+
+    The reference averages the whole torch ``state_dict``, which
+    includes BatchNorm running statistics (average_checkpoints.py:36-44
+    iterates every state_dict key) — pass ``state`` (a TrainState
+    template) to average ``batch_stats``/``vq_stats`` alongside params
+    so conformer/GST snapshots stay usable at eval. With only
+    ``params_template`` the snapshot is params-only (legacy behavior,
+    fine for BatchNorm-free models).
 
     Saves under ``save_dir/average_epoch{a}-epoch{b}`` (reference naming:
     ``network.average_epoch{a}-epoch{b}``) and returns the averaged params.
     """
+    wait_for_saves()
     epochs = [e for e in list_epochs(save_dir)
               if start_epoch <= e <= end_epoch]
     if not epochs:
         raise FileNotFoundError(
             f"no checkpoints in [{start_epoch}, {end_epoch}] under "
             f"{save_dir}")
+    template = {"params": params_template if state is None
+                else state.params}
+    if state is not None:
+        for k in ("batch_stats", "vq_stats"):
+            if jax.tree.leaves(getattr(state, k)):
+                template[k] = getattr(state, k)
     acc = None
     for e in epochs:
-        p = restore_params(save_dir, params_template, epoch=e)
-        p = jax.tree.map(lambda x: np.asarray(x, np.float64), p)
+        full = ocp.PyTreeCheckpointer().restore(_epoch_dir(save_dir, e))
+        p = {k: jax.tree.map(lambda x, _: np.asarray(x, np.float64),
+                             _follow(full[k], t), t)
+             for k, t in template.items()}
         acc = p if acc is None else jax.tree.map(np.add, acc, p)
     n = float(len(epochs))
     avg = jax.tree.map(
         lambda x, t: np.asarray(x / n, np.asarray(t).dtype), acc,
-        params_template)
+        template)
     out_name = out_name or f"average_epoch{start_epoch}-epoch{end_epoch}"
     out_path = os.path.join(os.path.abspath(save_dir), out_name)
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(out_path, {"params": avg})
+    ckptr.save(out_path, avg)
     ckptr.wait_until_finished()
-    return avg, out_path
+    return avg["params"], out_path
