@@ -114,36 +114,51 @@ def score(workdir: str, gen_dir: str) -> dict:
     from transformer_tts_tpu.eval import mcd, mel_l1
     with open(os.path.join(workdir, "test.txt")) as fh:
         lines = [ln.strip() for ln in fh if ln.strip()]
-    l1s, mcds = [], []
+    l1s, mcds, ratios = [], [], []
     for idx, line in enumerate(lines):
         ref = np.load(line.split("|")[0])
         gen = np.load(os.path.join(gen_dir, f"{idx}.npy"))
+        ratios.append(gen.shape[0] / ref.shape[0])
         if gen.shape[0] == 0:
             # an untrained duration predictor synthesizes 0 frames
             # (round(exp(0)-1) == 0, reference semantics); score as
             # silence of the reference length
             gen = np.zeros_like(ref)
+        elif gen.shape[0] < ref.shape[0]:
+            # missing frames count as error (zero-padding), so a model
+            # that stops early cannot score well on a truncated L1
+            gen = np.concatenate(
+                [gen, np.zeros((ref.shape[0] - gen.shape[0], gen.shape[1]),
+                               gen.dtype)])
         l1s.append(float(mel_l1(ref, gen)))
         mcds.append(float(mcd(ref, gen)))   # auto-DTW when lengths differ
     return {"mel_l1": float(np.mean(l1s)), "mcd": float(np.mean(mcds)),
-            "n": len(lines)}
+            "len_ratio": float(np.mean(ratios)), "n": len(lines)}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/tts_synthetic_overfit")
     ap.add_argument("--max_epoch", type=int, default=400)
-    ap.add_argument("--family", choices=("fs2", "conformer"),
+    ap.add_argument("--family", choices=("fs2", "conformer", "ar"),
                     default="fs2",
                     help="conformer: conformer encoder+decoder on LONG "
                          "utterances (mel buckets past FLASH_MIN_KEY_LEN "
                          "so the in-kernel relpos flash path is what "
-                         "actually trains)")
+                         "actually trains); ar: autoregressive "
+                         "Transformer-TTS — KV-cached decode with the "
+                         "reference stop rule, so the model must learn "
+                         "alignment AND when to stop (test.py:158-184)")
     ap.add_argument("--no_flash", action="store_true",
                     help="force the jnp attention path (kernel-numerics "
                          "control for A/B against the flash kernels)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir afterwards")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-budget variant (d_model 64, 2+2 layers, "
+                         "relaxed pass bar: >5x collapse or mel-L1 < "
+                         "0.2) — the weekly-tier CI stand-in for the "
+                         "committed chip runs in docs/LEARNING_DEMO.md")
     args = ap.parse_args(argv)
 
     if os.path.exists(args.workdir):
@@ -158,8 +173,22 @@ def main(argv=None):
         extra = dict(encoder_type="conformer", decoder_type="conformer",
                      batch_size=8, text_buckets=(96,),
                      length_buckets=(384,))
+    elif args.family == "ar":
+        build_corpus(args.workdir)
+        # parity AR config (utils/default.yaml:49-69 + train.py):
+        # teacher-forced training with reduction-rate frame groups,
+        # weighted-BCE stop loss; synthesis is the KV-cached scan
+        # gentler Noam warmup than the NAR demo: the AR stack has to
+        # learn cross-attention alignment from scratch, and the demo
+        # schedule's 5e-3 peak LR (warmup 100, d_model 384) plateaus it
+        extra = dict(model="Transformer", reduction_rate=2,
+                     positive_weight=5.0, warmup_step=1000)
     else:
         build_corpus(args.workdir)
+    if args.tiny:
+        extra.update(d_model_encoder=64, d_model_decoder=64,
+                     n_layer_encoder=2, n_layer_decoder=2,
+                     n_head_encoder=2, n_head_decoder=2)
     if args.no_flash:
         extra["use_flash_attention"] = False
 
@@ -203,9 +232,9 @@ def main(argv=None):
     if os.path.exists(log_path):
         with open(log_path) as fh:
             rows = [json.loads(ln) for ln in fh if ln.strip()]
-        curve = [{"step": r["step"],
-                  "loss_frame_after": round(r.get("loss_frame_after",
-                                                  float("nan")), 4)}
+        key = ("loss_frame_after" if rows
+               and "loss_frame_after" in rows[0] else "loss_total")
+        curve = [{"step": r["step"], key: round(r.get(key, float("nan")), 4)}
                  for r in rows[:: max(1, len(rows) // 10)]]
 
     summary = {
@@ -220,8 +249,12 @@ def main(argv=None):
         "loss_curve": curve,
     }
     print(json.dumps(summary), flush=True)
-    ok = (trained["mel_l1"] < 0.05
-          or trained["mel_l1"] * 20 < baseline["mel_l1"])
+    if args.tiny:
+        ok = (trained["mel_l1"] < 0.2
+              or trained["mel_l1"] * 5 < baseline["mel_l1"])
+    else:
+        ok = (trained["mel_l1"] < 0.05
+              or trained["mel_l1"] * 20 < baseline["mel_l1"])
     assert ok, f"model did not learn: {summary}"
     if not args.keep:
         shutil.rmtree(args.workdir)

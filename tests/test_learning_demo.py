@@ -1,0 +1,39 @@
+"""Weekly-tier CI stand-in for the committed learning-demo chip runs.
+
+`egs/synthetic_overfit/run.py` is the round-3 end-to-end learning
+demonstration (train -> average_checkpoints -> synthesize -> evaluate
+through the real CLIs; committed chip runs in docs/LEARNING_DEMO.md).
+This trimmed `--tiny` variant (d_model 64, 2+2 layers, relaxed >5x
+collapse bar) keeps the whole pipeline honest on the CPU backend.
+
+Default-tier stand-ins: the per-stage CLI e2e tests in test_cli.py and
+the module-level overfit smoke in test_models.py.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_RUN_PY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "egs", "synthetic_overfit", "run.py")
+
+
+def _load_recipe():
+    spec = importlib.util.spec_from_file_location(
+        "synthetic_overfit_run", _RUN_PY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.weekly
+@pytest.mark.slow
+def test_learning_demo_tiny_fs2(tmp_path):
+    recipe = _load_recipe()
+    summary = recipe.main(["--tiny", "--max_epoch", "150",
+                           "--workdir", str(tmp_path / "work")])
+    # recipe.main asserts the --tiny pass bar itself (>5x collapse or
+    # mel-L1 < 0.2); re-assert here so the test reads standalone
+    assert (summary["trained_mel_l1"] < 0.2
+            or summary["trained_mel_l1"] * 5 < summary["baseline_mel_l1"])
