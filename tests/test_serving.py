@@ -370,3 +370,63 @@ def test_engine_serves_xvector_model(tmp_path):
     got = mb.submit([1, 2, 3], speaker=list(map(float, v0)))
     assert got["mel"].ndim == 2
     mb.close()
+
+
+@pytest.mark.slow
+def test_engine_with_neural_vocoder(tmp_path):
+    """Engine carries a neural vocoder: results gain an "audio" field
+    (T * hop samples) and wav responses use it instead of Griffin-Lim."""
+    from tests.test_cli import write_hp, MEL_DIM
+    from tests.test_vocoder import TINY, tiny_state
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        t_text = rs.randint(4, 8)
+        t_mel = t_text * 3
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), 3, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(lines[:2]) + "\n")
+    voc_fields = {k: v for k, v in TINY.items()
+                  if k.startswith("vocoder_")}
+    hp_path, save_dir = write_hp(tmp_path, tmp_path, max_epoch=1,
+                                 **voc_fields)
+    from transformer_tts_tpu.cli import train as cli_train
+    cli_train.main(["--hp_file", hp_path])
+
+    # untrained tiny generator export (architecture from the same hp)
+    from transformer_tts_tpu.vocoder.trainer import export_generator
+    _, voc_state, gen, _ = tiny_state()
+    voc_dir = export_generator(str(tmp_path / "voc"), voc_state)
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    engine = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                       text_buckets=(8,), vocoder=voc_dir)
+    engine.warmup()                    # includes the vocoder signatures
+    r = engine.synthesize([[1, 2, 3], [4, 5, 6, 7]])
+    for item in r:
+        assert "audio" in item
+        assert item["audio"].shape == (
+            item["mel"].shape[0] * gen.hop_length,)
+        assert item["audio"].dtype == np.float32
+
+    # wav JSON responses carry the neural-vocoded audio
+    from transformer_tts_tpu.infer.server import _result_to_json
+    if r[0]["mel"].shape[0] > 0:
+        out = _result_to_json(r[0], wav=True, mel_dim=MEL_DIM,
+                              sample_rate=800, hop_length=8)
+        assert "wav_base64" in out
+        import base64
+        import io
+        import wave as wave_mod
+        with wave_mod.open(
+                io.BytesIO(base64.b64decode(out["wav_base64"]))) as fh:
+            assert fh.getnframes() == r[0]["audio"].shape[0]

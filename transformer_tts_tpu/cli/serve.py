@@ -40,6 +40,10 @@ def main(argv=None):
                              "503 instead of unbounded queueing")
     parser.add_argument("--export", type=str, default=None,
                         help="write jax.export artifacts here and exit")
+    parser.add_argument("--vocoder", type=str, default=None,
+                        help="neural-vocoder checkpoint (generator "
+                             "export from cli.train_vocoder); wav "
+                             "responses use it instead of Griffin-Lim")
     args = parser.parse_args(argv)
 
     from transformer_tts_tpu.infer.engine import TTSEngine
@@ -50,7 +54,7 @@ def main(argv=None):
     engine = TTSEngine(
         args.load_name, args.hp_file, epoch=args.epoch,
         batch_size=args.batch_size, frames_per_phone=args.frames_per_phone,
-        text_buckets=buckets)
+        text_buckets=buckets, vocoder=args.vocoder)
 
     if args.export:
         manifest = engine.export(args.export)

@@ -65,6 +65,11 @@ def main(argv=None):
                         help="also write Griffin-Lim waveforms "
                              "(assumes natural-log mel power features; "
                              "the reference needs an external vocoder)")
+    parser.add_argument("--vocoder", type=str, default=None,
+                        help="neural-vocoder checkpoint (generator "
+                             "export or vocoder_<k> dir from "
+                             "cli.train_vocoder); replaces Griffin-Lim "
+                             "for --wav output. Implies --wav.")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--hop_length", type=int, default=256)
     args = parser.parse_args(argv)
@@ -111,6 +116,16 @@ def main(argv=None):
     # come from the checkpoint, not from init (test_fastspeech2.py:49-52
     # restores the whole state_dict)
     variables = ckpt.restore_variables(load_dir, state, epoch=args.epoch)
+
+    vocoder = None
+    if args.vocoder is not None:
+        from transformer_tts_tpu.vocoder.trainer import (
+            build_vocoder, restore_generator_params)
+        args.wav = True
+        voc_gen = build_vocoder(hp, train_dtype=jnp.float32)
+        # one jitted apply reused across utterances (bucketed T)
+        vocoder = (voc_gen, jax.jit(voc_gen.apply),
+                   {"params": restore_generator_params(args.vocoder)})
 
     post_model = post_variables = None
     if args.post_model is not None:
@@ -215,7 +230,8 @@ def main(argv=None):
             if args.wav and n > 0:
                 _write_wav(os.path.join(args.save, f"{idx}.wav"),
                            mel_np[j, :n], hp, args.sample_rate,
-                           args.hop_length)
+                           args.hop_length, vocoder=vocoder,
+                           buckets=hp.length_buckets)
             print(f"save {out_name} ({n} frames)")
         sys.stdout.flush()
 
@@ -223,15 +239,28 @@ def main(argv=None):
     print(f"total time = {time.time() - start_time}")
 
 
-def _write_wav(path, mel, hp, sample_rate, hop_length):
-    """Griffin-Lim the de-normalized log-mel and write a 16-bit WAV."""
+def _write_wav(path, mel, hp, sample_rate, hop_length, *, vocoder=None,
+               buckets=()):
+    """Vocode the de-normalized log-mel (neural generator when given,
+    Griffin-Lim fallback) and write a 16-bit WAV."""
     import wave
     import jax.numpy as jnp
-    from transformer_tts_tpu.ops.melspectrogram import (
-        griffin_lim_from_log_mel)
-    audio = np.asarray(griffin_lim_from_log_mel(
-        jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
-        n_fft=1024, hop_length=hop_length, n_mels=hp.mel_dim))
+    if vocoder is not None:
+        from transformer_tts_tpu.data.batching import pick_bucket
+        gen, gen_apply, gen_vars = vocoder
+        n = mel.shape[0]
+        # pad T to a bucket so repeated calls reuse one compiled program
+        t = pick_bucket(n, buckets) if buckets else n
+        mel_pad = np.zeros((1, t, mel.shape[1]), np.float32)
+        mel_pad[0, :n] = mel
+        audio = np.asarray(gen_apply(
+            gen_vars, jnp.asarray(mel_pad)))[0, : n * gen.hop_length]
+    else:
+        from transformer_tts_tpu.ops.melspectrogram import (
+            griffin_lim_from_log_mel)
+        audio = np.asarray(griffin_lim_from_log_mel(
+            jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
+            n_fft=1024, hop_length=hop_length, n_mels=hp.mel_dim))
     pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
     with wave.open(path, "wb") as fh:
         fh.setnchannels(1)

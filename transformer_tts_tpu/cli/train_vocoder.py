@@ -1,0 +1,135 @@
+"""Neural-vocoder training CLI (beyond parity — the reference ships no
+vocoder and points users at an external one).
+
+``python -m transformer_tts_tpu.cli.train_vocoder --hp_file hp.py \
+      --wav_script wavs.txt``
+
+``wav_script``: one wav path per line (extra ``|``-separated fields
+ignored — the same file format ``cli/prepare_data.py`` consumes). Audio
+is loaded to host RAM once; every step samples ``batch_size`` random
+fixed-size segments (so there is exactly ONE compiled signature), the
+mel is computed on device inside the jitted step, and the D+G GAN update
+runs as one XLA program (vocoder/trainer.py).
+
+Checkpoints: ``vocoder_<k>`` (full GAN state, resumable) every
+``--save_every`` steps plus a ``generator`` export (what
+``cli/synthesize.py --vocoder`` and the serving engine load).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a neural vocoder")
+    parser.add_argument("--hp_file", type=str, required=True)
+    parser.add_argument("--wav_script", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=100000)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--save_every", type=int, default=5000)
+    parser.add_argument("--sample_rate", type=int, default=22050)
+    parser.add_argument("--n_fft", type=int, default=1024)
+    parser.add_argument("--fmin", type=float, default=0.0)
+    parser.add_argument("--fmax", type=float, default=None)
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", help="hparams override")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.bench_utils import enable_compilation_cache
+    enable_compilation_cache()
+    from transformer_tts_tpu.config import load_hparams
+    from transformer_tts_tpu.ops.features import read_wav
+    from transformer_tts_tpu.utils import MetricsLogger
+    from transformer_tts_tpu.vocoder.trainer import (
+        init_vocoder_state, make_vocoder_train_step,
+        save_vocoder_checkpoint, restore_vocoder_checkpoint,
+        export_generator)
+
+    hp = load_hparams(args.hp_file)
+    import ast
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        hp.override(**{key: value})
+    hp.log_config()
+    hp.snapshot(hp.save_dir)
+
+    hop = 1
+    for r in hp.vocoder_upsample_rates:
+        hop *= r
+    seg = hp.vocoder_segment_size
+    if seg % hop:
+        raise SystemExit(f"vocoder_segment_size {seg} must be a multiple "
+                         f"of prod(vocoder_upsample_rates) = {hop}")
+
+    # ---- corpus: all wavs in host RAM, random crops per step ----
+    with open(args.wav_script) as fh:
+        paths = [ln.strip().split("|")[0] for ln in fh if ln.strip()]
+    wavs = []
+    for p in paths:
+        audio, _ = read_wav(p, expected_rate=args.sample_rate)
+        if len(audio) < seg:                     # tile short clips
+            reps = seg // len(audio) + 1
+            audio = np.tile(audio, reps)
+        wavs.append(np.asarray(audio, np.float32))
+    print(f"loaded {len(wavs)} wavs "
+          f"({sum(len(w) for w in wavs) / args.sample_rate:.1f}s)")
+
+    rng = np.random.RandomState(hp.seed)
+
+    def sample_batch(bsz):
+        out = np.empty((bsz, seg), np.float32)
+        idx = rng.randint(0, len(wavs), size=bsz)
+        for i, j in enumerate(idx):
+            w = wavs[j]
+            off = rng.randint(0, len(w) - seg + 1)
+            out[i] = w[off:off + seg]
+        return out
+
+    # ---- state + step ----
+    state, gen, disc = init_vocoder_state(
+        hp, jax.random.PRNGKey(hp.seed), seg)
+    start_step = 0
+    if hp.loaded_dir:
+        state = restore_vocoder_checkpoint(hp.loaded_dir, state,
+                                           hp.loaded_epoch)
+        start_step = int(state.step)
+        print(f"resumed at step {start_step}")
+    mel_cfg = dict(sample_rate=args.sample_rate, n_fft=args.n_fft,
+                   hop_length=hop, n_mels=hp.mel_dim, fmin=args.fmin,
+                   fmax=args.fmax)
+    step_fn = make_vocoder_train_step(gen, disc, hp, mel_cfg)
+
+    logger = MetricsLogger(hp.log_dir)
+    key = jax.random.PRNGKey(hp.seed + 1)
+    t0 = time.time()
+    prev = None                                  # lag prints one step
+    for step in range(start_step, args.max_steps):
+        batch = jnp.asarray(sample_batch(args.batch_size))
+        key, sub = jax.random.split(key)
+        state, scalars = step_fn(state, batch, sub)
+        if prev is not None and (step % hp.log_every == 0):
+            s = {k: float(v) for k, v in prev.items()}
+            logger.log(step, **s)
+            print(f"step {step} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(s.items()))
+                  + f" ({time.time() - t0:.1f}s)", flush=True)
+        prev = scalars
+        if (step + 1) % args.save_every == 0 or step + 1 == args.max_steps:
+            save_vocoder_checkpoint(hp.save_dir, state, step + 1)
+            export_generator(hp.save_dir, state)
+            print(f"saved vocoder checkpoint @ step {step + 1}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

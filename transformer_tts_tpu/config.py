@@ -151,6 +151,24 @@ _DEFAULTS: Dict[str, Any] = {
     "spk_emb_postprocess_type": None,
     "spk_emb_dim_postprocess": None,
     "intermediate_layers_out": None,
+    # --- neural vocoder (beyond parity; the reference relies on an
+    # external vocoder — see vocoder/__init__.py) ---------------------------
+    "vocoder_upsample_rates": (8, 8, 2, 2),      # prod == hop_length
+    "vocoder_upsample_kernel_sizes": (16, 16, 4, 4),
+    "vocoder_channels": 512,
+    "vocoder_resblock_kernel_sizes": (3, 7, 11),
+    "vocoder_resblock_dilations": ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    "vocoder_upsample_mode": "subpixel",         # subpixel | transposed
+    "vocoder_periods": (2, 3, 5, 7, 11),
+    "vocoder_num_scales": 3,
+    "vocoder_segment_size": 8192,
+    "vocoder_lr": 2e-4,
+    "vocoder_lr_decay": 0.999,
+    "vocoder_lr_decay_steps": 1000,
+    "vocoder_adam_b1": 0.8,
+    "vocoder_adam_b2": 0.99,
+    "vocoder_lambda_mel": 45.0,
+    "vocoder_lambda_fm": 2.0,
     # --- misc --------------------------------------------------------------
     "save_attention_per_step": 1000,
     # TensorBoard IMAGE summaries (attention maps + pred/target mels)

@@ -35,7 +35,8 @@ class TTSEngine:
     def __init__(self, load_dir: str, hp_file: Optional[str] = None, *,
                  epoch: Optional[int] = None, batch_size: int = 8,
                  frames_per_phone: int = 8,
-                 text_buckets: Optional[Sequence[int]] = None):
+                 text_buckets: Optional[Sequence[int]] = None,
+                 vocoder: Optional[str] = None):
         import jax
         import jax.numpy as jnp
         from transformer_tts_tpu.config import is_nar_model, load_hparams
@@ -83,6 +84,19 @@ class TTSEngine:
         self._mean = jnp.asarray(mean) if mean is not None else None
         self._var = jnp.asarray(var) if var is not None else None
 
+        # optional neural vocoder: requests get waveforms, not just mels.
+        # Architecture comes from hp.vocoder_* (snapshot alongside the
+        # acoustic model); jitted once, bucketed with the mel budget so
+        # warmup covers every signature.
+        self._vocoder = None
+        if vocoder is not None:
+            from transformer_tts_tpu.vocoder.trainer import (
+                build_vocoder, restore_generator_params)
+            gen = build_vocoder(hp, train_dtype=jnp.float32)
+            self._vocoder = (
+                gen, jax.jit(gen.apply),
+                {"params": restore_generator_params(vocoder)})
+
     # ---------------- shapes ----------------
 
     def max_frames_for(self, text_bucket: int) -> int:
@@ -113,6 +127,12 @@ class TTSEngine:
             self._run_padded(np.ones((self.batch_size, b), np.int32),
                              np.ones((self.batch_size, b), np.int32),
                              spk)
+            if self._vocoder is not None:
+                import jax.numpy as jnp
+                _, voc_apply, voc_vars = self._vocoder
+                voc_apply(voc_vars, jnp.zeros(
+                    (self.batch_size, self.max_frames_for(b),
+                     self.hp.mel_dim), jnp.float32))
             times[b] = time.time() - t0
         return times
 
@@ -201,6 +221,14 @@ class TTSEngine:
                 # SECOND signature the warmup never compiled
                 spk = self._fill_speakers(idxs, speakers)
             mel, mel_len, durations = self._run_padded(text, pos, spk)
+            audio = None
+            if self._vocoder is not None:
+                import jax.numpy as jnp
+                gen, voc_apply, voc_vars = self._vocoder
+                # vocode the still-on-device padded batch (one bucketed
+                # signature, warmed); rows are sliced to length below
+                audio = np.asarray(voc_apply(
+                    voc_vars, jnp.asarray(mel, jnp.float32)))
             mel = np.asarray(mel, np.float32)   # device bf16 under amp
             mel_len = np.asarray(mel_len)
             if durations is not None:
@@ -213,6 +241,10 @@ class TTSEngine:
                           "durations": (durations[row, :n]
                                         if durations is not None
                                         else np.zeros((0,), np.int32))}
+                if audio is not None:
+                    hop = self._vocoder[0].hop_length
+                    out[i]["audio"] = audio[row,
+                                            :int(mel_len[row]) * hop]
         return out  # type: ignore[return-value]
 
     # ---------------- export ----------------

@@ -145,18 +145,22 @@ def _result_to_json(r: dict, *, wav: bool = False,
         "durations": [int(d) for d in r["durations"]],
     }
     if wav and mel.shape[0] > 0:
-        # built-in Griffin-Lim fallback vocoder (no external model);
+        # neural vocoder output when the engine carries one (r["audio"],
+        # engine.py), Griffin-Lim fallback otherwise;
         # 16-bit PCM WAV, base64 over JSON
         import base64
         import io
         import wave as wave_mod
         import jax.numpy as jnp
         import numpy as np
-        from transformer_tts_tpu.ops.melspectrogram import (
-            griffin_lim_from_log_mel)
-        audio = np.asarray(griffin_lim_from_log_mel(
-            jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
-            hop_length=hop_length, n_mels=mel_dim))
+        if "audio" in r:
+            audio = np.asarray(r["audio"])
+        else:
+            from transformer_tts_tpu.ops.melspectrogram import (
+                griffin_lim_from_log_mel)
+            audio = np.asarray(griffin_lim_from_log_mel(
+                jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
+                hop_length=hop_length, n_mels=mel_dim))
         pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
         buf = io.BytesIO()
         with wave_mod.open(buf, "wb") as fh:
