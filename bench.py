@@ -191,6 +191,32 @@ def main():
     engine_s = float(np.median(eng_times))
     serve_audio_s_per_s = (bs * audio_seconds) / engine_s
 
+    # ---------------- neural vocoder throughput ----------------
+    # untrained V1-size generator (weights don't change the math):
+    # batch-8 x 256 mel frames -> 8 x 2.97 s of 22.05 kHz audio per call
+    from transformer_tts_tpu.vocoder.generator import HiFiGANGenerator
+    voc = HiFiGANGenerator(dtype=jnp.bfloat16)
+    voc_mel = jnp.zeros((8, 256, 80), jnp.float32)
+    voc_params = jax.jit(voc.init)(rng, voc_mel)
+
+    @jax.jit
+    def voc_fn(params, mel, carry):
+        return jnp.sum(voc.apply(params, mel + carry * 0))
+
+    def voc_chain(k):
+        carry = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            carry = voc_fn(voc_params, voc_mel, carry)
+        return float(carry)
+
+    voc_chain(2)
+    voc_s, _, _, _ = _slope_time(voc_chain, 8)
+    voc_audio_s = 8 * 256 * voc.hop_length / 22050.0
+    voc_flops = _flops_of(voc_fn, (voc_params, voc_mel,
+                                   jnp.zeros((), jnp.float32)))
+    _plausibility_guard("vocoder", voc_flops, voc_s)
+    vocoder_audio_s_per_s = voc_audio_s / voc_s
+
     # ---------------- training throughput ----------------
     b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
     batch = {
@@ -266,6 +292,7 @@ def main():
         "serve_audio_s_per_s": round(serve_audio_s_per_s, 1),
         "serve_engine_ms_per_batch16": round(engine_s * 1000, 1),
         "serve_fwd_marginal_audio_s_per_s": round(serve_fwd_marginal, 1),
+        "vocoder_audio_s_per_s": round(vocoder_audio_s_per_s, 1),
         "synth_ms_per_utt_marginal": round(synth_s * 1000, 3),
         "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),

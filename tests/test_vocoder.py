@@ -90,6 +90,7 @@ def test_discriminator_structure():
 
 # ----------------------------------------------------------- train step
 
+@pytest.mark.slow          # compiles the full GAN step (~1 min cold)
 def test_train_step_losses_finite_and_mel_improves():
     from transformer_tts_tpu.vocoder.trainer import (
         make_vocoder_train_step)
@@ -109,14 +110,14 @@ def test_train_step_losses_finite_and_mel_improves():
 
 
 def test_checkpoint_roundtrip_and_generator_export(tmp_path):
+    # saves the freshly-initialized GAN state: exercises the round trip
+    # without compiling the (slow) train step — the post-step round trip
+    # is covered by the slow CLI e2e below
     from transformer_tts_tpu.vocoder.trainer import (
-        make_vocoder_train_step, save_vocoder_checkpoint,
-        restore_vocoder_checkpoint, export_generator,
-        restore_generator_params)
+        save_vocoder_checkpoint, restore_vocoder_checkpoint,
+        export_generator, restore_generator_params)
     hp, state, gen, disc = tiny_state()
-    step = make_vocoder_train_step(gen, disc, hp, MEL_CFG)
-    audio = sine_batch(2, hp.vocoder_segment_size)
-    state, _ = step(state, audio, jax.random.PRNGKey(0))
+    state = state.replace(step=state.step + 1)
     save_vocoder_checkpoint(str(tmp_path), state, 1)
 
     _, fresh, _, _ = tiny_state(seed=1)
@@ -223,3 +224,62 @@ def test_cli_vocoder_train_then_neural_vocoded_synthesis(tmp_path):
     mel = np.load(out_dir / "0.npy")
     with wave.open(str(wav_path), "rb") as fh:
         assert fh.getnframes() == mel.shape[0] * 8   # T * hop samples
+
+
+@pytest.mark.slow          # compiles the GAN step
+def test_finetune_step_uses_predicted_mel():
+    """Fine-tune mode: the generator vocodes the *given* (predicted)
+    mel; the reconstruction target stays the real audio's mel."""
+    from transformer_tts_tpu.vocoder.trainer import (
+        make_vocoder_train_step)
+    hp, state, gen, disc = tiny_state()
+    step = make_vocoder_train_step(gen, disc, hp, MEL_CFG,
+                                   predicted_mel_inputs=True)
+    audio = sine_batch(2, hp.vocoder_segment_size)
+    n_frames = hp.vocoder_segment_size // gen.hop_length
+    rs = np.random.RandomState(0)
+    mel_pred = jnp.asarray(rs.randn(2, n_frames, MEL_DIM)
+                           .astype(np.float32))
+    s1, sc1 = step(state, audio, mel_pred, jax.random.PRNGKey(0))
+    assert all(np.isfinite(float(v)) for v in sc1.values())
+    # a different predicted mel must change the generator losses
+    _, sc2 = step(s1, audio, mel_pred * 0.0, jax.random.PRNGKey(0))
+    assert float(sc1["loss_mel"]) != float(sc2["loss_mel"])
+
+
+@pytest.mark.slow
+def test_cli_vocoder_finetune_on_predicted_mels(tmp_path):
+    from transformer_tts_tpu.cli import train_vocoder as cli_voc
+    rate = 800
+    lines = []
+    for i in range(2):
+        n_frames = 40 + 8 * i
+        n = n_frames * 8
+        t = np.arange(n) / rate
+        audio = (np.sin(2 * np.pi * 55.0 * t) * 0.5).astype(np.float32)
+        wav_p = tmp_path / f"w{i}.wav"
+        with wave.open(str(wav_p), "wb") as fh:
+            fh.setnchannels(1)
+            fh.setsampwidth(2)
+            fh.setframerate(rate)
+            fh.writeframes((audio * 32767).astype(np.int16).tobytes())
+        mel_p = tmp_path / f"w{i}_gen.npy"   # teacher-forced mel stand-in
+        np.save(mel_p, np.random.RandomState(i)
+                .randn(n_frames, MEL_DIM).astype(np.float32))
+        lines.append(f"{wav_p}|{mel_p}")
+    (tmp_path / "pairs.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "wavs.txt").write_text(
+        "\n".join(l.split("|")[0] for l in lines) + "\n")
+    cfg = dict(TINY)
+    cfg.update(save_dir=str(tmp_path / "ckpt"),
+               log_dir=str(tmp_path / "logs"))
+    hp_p = tmp_path / "hp.py"
+    hp_p.write_text("\n".join(f"{k} = {v!r}" for k, v in cfg.items())
+                    + "\n")
+    cli_voc.main(["--hp_file", str(hp_p),
+                  "--wav_script", str(tmp_path / "wavs.txt"),
+                  "--mel_script", str(tmp_path / "pairs.txt"),
+                  "--max_steps", "2", "--batch_size", "2",
+                  "--save_every", "2", "--sample_rate", str(rate),
+                  "--n_fft", "16"])
+    assert (tmp_path / "ckpt" / "generator").is_dir()

@@ -28,6 +28,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Train a neural vocoder")
     parser.add_argument("--hp_file", type=str, required=True)
     parser.add_argument("--wav_script", type=str, required=True)
+    parser.add_argument("--mel_script", type=str, default=None,
+                        help="fine-tuning mode (the HiFi-GAN production "
+                             "recipe): lines 'wav_path|mel.npy' pair each "
+                             "wav with the acoustic model's teacher-"
+                             "forced mel (cli.teacher_forcing output); "
+                             "the generator vocodes the predicted mel, "
+                             "the loss target stays the real audio")
     parser.add_argument("--max_steps", type=int, default=100000)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--save_every", type=int, default=5000)
@@ -71,29 +78,55 @@ def main(argv=None):
         raise SystemExit(f"vocoder_segment_size {seg} must be a multiple "
                          f"of prod(vocoder_upsample_rates) = {hop}")
 
-    # ---- corpus: all wavs in host RAM, random crops per step ----
-    with open(args.wav_script) as fh:
-        paths = [ln.strip().split("|")[0] for ln in fh if ln.strip()]
-    wavs = []
-    for p in paths:
-        audio, _ = read_wav(p, expected_rate=args.sample_rate)
-        if len(audio) < seg:                     # tile short clips
+    # ---- corpus: all wavs (and fine-tune mels) in host RAM, random
+    # crops per step ----
+    finetune = args.mel_script is not None
+    script = args.mel_script if finetune else args.wav_script
+    with open(script) as fh:
+        entries = [ln.strip().split("|") for ln in fh if ln.strip()]
+    wavs, mels = [], []
+    n_frames_seg = seg // hop
+    for fields in entries:
+        audio, _ = read_wav(fields[0], expected_rate=args.sample_rate)
+        if finetune:
+            mel = np.asarray(np.load(fields[1]), np.float32)
+            if mel.shape[1] != hp.mel_dim:
+                raise SystemExit(f"{fields[1]}: mel_dim {mel.shape[1]} "
+                                 f"!= hp.mel_dim {hp.mel_dim}")
+            # frame-align: audio covers exactly n_frames * hop samples
+            n = min(mel.shape[0], len(audio) // hop)
+            if n < n_frames_seg:                 # tile short clips
+                reps = n_frames_seg // max(n, 1) + 1
+                mel = np.tile(mel[:n], (reps, 1))
+                audio = np.tile(audio[:n * hop], reps)
+                n = mel.shape[0]
+            mels.append(mel[:n])
+            audio = audio[:n * hop]
+        elif len(audio) < seg:                   # tile short clips
             reps = seg // len(audio) + 1
             audio = np.tile(audio, reps)
         wavs.append(np.asarray(audio, np.float32))
     print(f"loaded {len(wavs)} wavs "
-          f"({sum(len(w) for w in wavs) / args.sample_rate:.1f}s)")
+          f"({sum(len(w) for w in wavs) / args.sample_rate:.1f}s)"
+          + (" [fine-tune on predicted mels]" if finetune else ""))
 
     rng = np.random.RandomState(hp.seed)
 
     def sample_batch(bsz):
         out = np.empty((bsz, seg), np.float32)
+        out_mel = (np.empty((bsz, n_frames_seg, hp.mel_dim), np.float32)
+                   if finetune else None)
         idx = rng.randint(0, len(wavs), size=bsz)
         for i, j in enumerate(idx):
             w = wavs[j]
-            off = rng.randint(0, len(w) - seg + 1)
-            out[i] = w[off:off + seg]
-        return out
+            if finetune:
+                f = rng.randint(0, mels[j].shape[0] - n_frames_seg + 1)
+                out_mel[i] = mels[j][f:f + n_frames_seg]
+                out[i] = w[f * hop:f * hop + seg]
+            else:
+                off = rng.randint(0, len(w) - seg + 1)
+                out[i] = w[off:off + seg]
+        return out, out_mel
 
     # ---- state + step ----
     state, gen, disc = init_vocoder_state(
@@ -107,16 +140,21 @@ def main(argv=None):
     mel_cfg = dict(sample_rate=args.sample_rate, n_fft=args.n_fft,
                    hop_length=hop, n_mels=hp.mel_dim, fmin=args.fmin,
                    fmax=args.fmax)
-    step_fn = make_vocoder_train_step(gen, disc, hp, mel_cfg)
+    step_fn = make_vocoder_train_step(gen, disc, hp, mel_cfg,
+                                      predicted_mel_inputs=finetune)
 
     logger = MetricsLogger(hp.log_dir)
     key = jax.random.PRNGKey(hp.seed + 1)
     t0 = time.time()
     prev = None                                  # lag prints one step
     for step in range(start_step, args.max_steps):
-        batch = jnp.asarray(sample_batch(args.batch_size))
+        audio_np, mel_np = sample_batch(args.batch_size)
         key, sub = jax.random.split(key)
-        state, scalars = step_fn(state, batch, sub)
+        if finetune:
+            state, scalars = step_fn(state, jnp.asarray(audio_np),
+                                     jnp.asarray(mel_np), sub)
+        else:
+            state, scalars = step_fn(state, jnp.asarray(audio_np), sub)
         if prev is not None and (step % hp.log_every == 0):
             s = {k: float(v) for k, v in prev.items()}
             logger.log(step, **s)

@@ -108,8 +108,18 @@ def _ls_fake(logits):
 
 def make_vocoder_train_step(gen: HiFiGANGenerator,
                             disc: VocoderDiscriminator, hp: HParams,
-                            mel_cfg: Dict[str, Any]):
-    """Returns ``step(state, audio (B, N) fp32, rng) -> (state, scalars)``."""
+                            mel_cfg: Dict[str, Any], *,
+                            predicted_mel_inputs: bool = False):
+    """Returns ``step(state, audio (B, N) fp32, rng) -> (state, scalars)``.
+
+    ``predicted_mel_inputs=True`` is the fine-tuning mode (the HiFi-GAN
+    production recipe): the step signature becomes
+    ``step(state, audio, mel, rng)`` where ``mel`` is the *acoustic
+    model's* (teacher-forced) prediction for the same segment — the
+    generator learns to vocode the distribution it will actually see at
+    synthesis time. The reconstruction target stays the ground-truth
+    audio's mel either way.
+    """
     hop = gen.hop_length
     lam_mel = hp.vocoder_lambda_mel
     lam_fm = hp.vocoder_lambda_fm
@@ -118,10 +128,11 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
         m = log_mel_spectrogram(audio, **mel_cfg)
         return m[:, : audio.shape[1] // hop]       # drop the center frame
 
-    def step_fn(state: VocoderTrainState, audio: jnp.ndarray,
-                rng: jax.Array):
-        mel = mel_of(audio)
-        fake = gen.apply({"params": state.g_params}, mel)
+    def _step(state: VocoderTrainState, audio: jnp.ndarray,
+              in_mel, rng: jax.Array):
+        mel = mel_of(audio)                        # reconstruction target
+        gen_in = in_mel if in_mel is not None else mel
+        fake = gen.apply({"params": state.g_params}, gen_in)
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
@@ -137,7 +148,7 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         def g_loss_fn(g_params):
-            wav = gen.apply({"params": g_params}, mel)
+            wav = gen.apply({"params": g_params}, gen_in)
             outs_f = disc.apply({"params": d_params}, wav)
             outs_r = disc.apply({"params": d_params}, audio)
             adv = sum(_ls_real(lf) for lf, _ in outs_f)
@@ -163,6 +174,13 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
                    "loss_fm": fm, "loss_mel": mel_l1}
         return new_state, scalars
 
+    if predicted_mel_inputs:
+        def step_ft(state, audio, mel, rng):
+            return _step(state, audio, mel, rng)
+        return jax.jit(step_ft, donate_argnums=(0,))
+
+    def step_fn(state, audio, rng):
+        return _step(state, audio, None, rng)
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
