@@ -90,11 +90,16 @@ class TTSEngine:
         # warmup covers every signature.
         self._vocoder = None
         if vocoder is not None:
+            import functools
+            from transformer_tts_tpu.infer.streaming import vocode_pinned
             from transformer_tts_tpu.vocoder.trainer import (
                 build_vocoder, restore_generator_params)
             gen = build_vocoder(hp, train_dtype=jnp.float32)
+            # fp32-pinned + process-wide jit cache shared with the
+            # streaming path (streaming.vocode_pinned) so one-shot and
+            # streamed windows are exact AND share compilations
             self._vocoder = (
-                gen, jax.jit(gen.apply),
+                gen, functools.partial(vocode_pinned, gen),
                 {"params": restore_generator_params(vocoder)})
 
     # ---------------- shapes ----------------
@@ -111,9 +116,14 @@ class TTSEngine:
 
     # ---------------- compile / run ----------------
 
-    def warmup(self) -> dict:
+    def warmup(self, streaming: bool = False) -> dict:
         """AOT-compile every (batch_size, text_bucket) signature.
 
+        ``streaming=True`` additionally drains one dummy
+        ``synthesize_streaming`` request per bucket, compiling the
+        batch-1 forward (NAR) / segment decode (AR) and the vocoder
+        window signature, so the first streaming request's
+        time-to-first-audio is the warm number (~ms, not compile time).
         Returns {bucket: compile_seconds}.
         """
         times = {}
@@ -133,6 +143,13 @@ class TTSEngine:
                 voc_apply(voc_vars, jnp.zeros(
                     (self.batch_size, self.max_frames_for(b),
                      self.hp.mel_dim), jnp.float32))
+            if streaming:
+                spk0 = None
+                if self.hp.is_multi_speaker:
+                    spk0 = 0 if not self.is_xvector else \
+                        np.zeros((self.spk_emb_dim,), np.float32)
+                for _ in self.synthesize_streaming([1] * b, spk0):
+                    pass
             times[b] = time.time() - t0
         return times
 
@@ -246,6 +263,98 @@ class TTSEngine:
                     out[i]["audio"] = audio[row,
                                             :int(mel_len[row]) * hop]
         return out  # type: ignore[return-value]
+
+    # ---------------- streaming ----------------
+
+    def synthesize_streaming(self, text, speaker=None, *,
+                             chunk_frames: int = 64,
+                             segment_steps: int = 32):
+        """Stream one utterance: yields audio (or mel) chunks as they
+        are ready, then an ``end`` event. Batch-1, latency-oriented —
+        the batched ``synthesize`` is the throughput path.
+
+        Events (dicts):
+        * ``{"type": "audio", "start_sample": s, "pcm": float32 (n,)}``
+          when the engine has a vocoder — the concatenated pcm equals
+          the one-shot ``synthesize`` audio (exact; test_streaming.py);
+        * ``{"type": "mel", "start_frame": f, "mel": (t, mel) float32}``
+          without a vocoder (AR: per decode segment; NAR: one chunk);
+        * ``{"type": "end", "mel_frames": L, "durations": (L_text,)}``.
+
+        NAR models produce mel in one forward — streaming overlaps the
+        vocoder windows with delivery. AR models decode in
+        ``segment_steps``-step jitted segments, so the first chunk ships
+        after ~``segment_steps`` decode steps instead of the full
+        utterance.
+        """
+        import jax.numpy as jnp
+        from transformer_tts_tpu.infer.streaming import (
+            ARStream, StreamingVocoder)
+        ids = np.asarray(list(text), np.int32)
+        bucket = self._bucket_of(len(ids))
+        txt = np.zeros((1, bucket), np.int32)
+        pos = np.zeros((1, bucket), np.int32)
+        txt[0, :len(ids)] = ids
+        pos[0, :len(ids)] = np.arange(1, len(ids) + 1)
+        spk = None
+        if self.hp.is_multi_speaker:
+            full = self._fill_speakers([0], [speaker]
+                                       if speaker is not None else None)
+            spk = jnp.asarray(full[:1])
+        max_frames = self.max_frames_for(bucket)
+        sv = None
+        if self._vocoder is not None:
+            gen, _, voc_vars = self._vocoder
+            sv = StreamingVocoder(gen, voc_vars, chunk_frames=chunk_frames)
+
+        if not self.is_ar:
+            from transformer_tts_tpu.infer.synthesize import (
+                synthesize_fastspeech2)
+            mel, mel_len, durations = synthesize_fastspeech2(
+                self.model, self.variables, jnp.asarray(txt),
+                jnp.asarray(pos), max_frames, spk,
+                mean=self._mean, var=self._var)
+            n = int(mel_len[0])
+            if sv is not None:
+                for s, wav in sv.stream(mel[0], length=n):
+                    yield {"type": "audio", "start_sample": s, "pcm": wav}
+            else:
+                yield {"type": "mel", "start_frame": 0,
+                       "mel": np.asarray(mel[0, :n], np.float32)}
+            yield {"type": "end", "mel_frames": n,
+                   "durations": np.asarray(durations[0, :len(ids)])}
+            return
+
+        r = self.hp.reduction_rate or 1
+        stream = ARStream(
+            self.model, self.variables, txt, pos, spk,
+            mean=self._mean, var=self._var, max_steps=max_frames // r,
+            segment_steps=segment_steps)
+        session = None
+        if sv is not None and max_frames >= sv.window:
+            session = sv.session(max_frames, batch=1,
+                                 mel_dim=self.hp.mel_dim)
+        chunks = [] if (sv is not None and session is None) else None
+        for start_frame, mel_chunk in stream:
+            if session is not None:
+                for s, wav in session.feed(mel_chunk):
+                    yield {"type": "audio", "start_sample": s,
+                           "pcm": wav[0]}
+            elif chunks is not None:
+                chunks.append(mel_chunk)    # buffer too small to window
+            else:
+                yield {"type": "mel", "start_frame": start_frame,
+                       "mel": mel_chunk[0]}
+        n = int(stream.lengths[0])
+        if session is not None:
+            for s, wav in session.finish([n]):
+                yield {"type": "audio", "start_sample": s, "pcm": wav[0]}
+        elif chunks is not None:
+            mel = np.concatenate(chunks, axis=1)
+            for s, wav in sv.stream(mel[0], length=n):
+                yield {"type": "audio", "start_sample": s, "pcm": wav}
+        yield {"type": "end", "mel_frames": n,
+               "durations": np.zeros((0,), np.int32)}
 
     # ---------------- export ----------------
 

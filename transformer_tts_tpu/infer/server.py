@@ -194,6 +194,61 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _stream(self):
+                """``POST /synthesize_stream``: JSON-lines over a
+                close-delimited HTTP/1.0 response — one line per audio
+                chunk as the engine produces it, a final ``done`` line
+                with metadata. Body: ``{"text_ids": [...]}`` plus
+                optional ``"speaker"``, ``"chunk_frames"``,
+                ``"segment_steps"``. Streaming requests bypass the
+                micro-batcher (latency- not throughput-oriented) and
+                require the engine to carry a vocoder."""
+                import base64
+                import numpy as np
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    kw = {}
+                    if req.get("chunk_frames"):
+                        kw["chunk_frames"] = int(req["chunk_frames"])
+                    if req.get("segment_steps"):
+                        kw["segment_steps"] = int(req["segment_steps"])
+                    events = server.engine.synthesize_streaming(
+                        req["text_ids"], req.get("speaker"), **kw)
+                    first = next(events)   # fail before headers if broken
+                except Exception as e:     # noqa: BLE001 — HTTP boundary
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                t0 = time.time()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+
+                def line(ev):
+                    if ev["type"] == "audio":
+                        pcm = (np.clip(ev["pcm"], -1.0, 1.0)
+                               * 32767).astype("<i2")
+                        out = {"start_sample": int(ev["start_sample"]),
+                               "pcm16_base64":
+                                   base64.b64encode(pcm.tobytes()).decode()}
+                    elif ev["type"] == "mel":
+                        out = {"start_frame": int(ev["start_frame"]),
+                               "mel": [[round(float(v), 5) for v in fr]
+                                       for fr in ev["mel"]]}
+                    else:
+                        out = {"done": True,
+                               "mel_frames": int(ev["mel_frames"]),
+                               "ms": round((time.time() - t0) * 1000, 2)}
+                    self.wfile.write((json.dumps(out) + "\n").encode())
+                    self.wfile.flush()
+
+                try:
+                    line(first)
+                    for ev in events:
+                        line(ev)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass                   # client went away mid-stream
+
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {
@@ -219,6 +274,9 @@ class TTSServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/synthesize_stream":
+                    self._stream()
+                    return
                 if self.path != "/synthesize":
                     self._reply(404, {"error": "not found"})
                     return

@@ -30,6 +30,10 @@ from transformer_tts_tpu.ops.masks import pad_mask
 
 PERTURBATION_CHOICES = (0.8, 0.9, 1.0, 1.1, 1.2)  # varianceadaptor.py:77
 MAX_AR_STEPS = 500                                # test.py:158
+# The postnet is 5 causal convs of kernel 5 (left-pad 4 each,
+# postnets.py:49-68): output group t depends on groups [t-20, t] only.
+# Streaming applies it over a lookback window of this many groups.
+POSTNET_LOOKBACK = 20
 
 
 def sample_perturbation(rng: Optional[random.Random] = None) -> float:
@@ -123,6 +127,65 @@ def synthesize_integrate(
     return refined, prenet, out.mel_len, durations.astype(jnp.int32)
 
 
+def _ar_check(model):
+    """Shared preconditions for the KV-cached incremental decode."""
+    if model.decoder_type.lower() == "tacotron2":
+        raise ValueError("decoder_type='tacotron2' uses "
+                         "synthesize_tacotron2 (zoneout-LSTM loop), not "
+                         "the KV-cached transformer decode")
+    if model.ff_conv_kernel_size_decoder != 1:
+        raise ValueError(
+            "incremental decode requires ff_conv_kernel_size_decoder == 1 "
+            "(the decoder conv-FFN is SAME-padded and only causal at k=1)")
+
+
+def _ar_init(model: TransformerTTS, b: int, max_steps: int) -> dict:
+    """Initial carry for the AR decode loop (shared with streaming)."""
+    heads = model.n_head_decoder
+    d_k = model.d_model_decoder // heads
+    dtype = model.dtype
+    caches = tuple(
+        (jnp.zeros((b, heads, max_steps, d_k), dtype),
+         jnp.zeros((b, heads, max_steps, d_k), dtype))
+        for _ in range(model.n_layer_decoder))
+    return dict(
+        step=jnp.zeros((), jnp.int32),
+        prev=jnp.zeros((b, 1, model.mel_dim), dtype),
+        caches=caches,
+        groups=jnp.zeros((b, max_steps, model.mel_dim * model.reduction_rate),
+                         jnp.float32),
+        done=jnp.zeros((b,), bool),
+        length=jnp.full((b,), max_steps, jnp.int32),
+    )
+
+
+def _ar_body(model: TransformerTTS, variables, e_outputs, src_mask,
+             spk_emb, cross_kvs, stop_threshold: float):
+    """One-step body of the AR decode while_loop (shared with streaming)."""
+    mel_dim = model.mel_dim
+    dtype = model.dtype
+
+    def body(c):
+        group, stop, new_caches = model.apply(
+            variables, c["prev"], e_outputs, src_mask, c["caches"],
+            c["step"], spk_emb, cross_kvs,
+            method=TransformerTTS.decode_step)
+        group_f32 = group.astype(jnp.float32)
+        groups = jax.lax.dynamic_update_slice_in_dim(
+            c["groups"], group_f32, c["step"], axis=1)
+        # stop rule (test.py:178-184): mean over the r stop logits
+        p_stop = jax.nn.sigmoid(stop.astype(jnp.float32))[:, 0]
+        stop_now = jnp.mean(p_stop, axis=-1) > stop_threshold
+        newly_done = stop_now & ~c["done"]
+        length = jnp.where(newly_done, c["step"] + 1, c["length"])
+        # next input: first frame of the predicted group (test.py:171-176)
+        next_frame = group[:, 0, :mel_dim][:, None, :].astype(dtype)
+        return dict(step=c["step"] + 1, prev=next_frame, caches=new_caches,
+                    groups=groups, done=c["done"] | stop_now, length=length)
+
+    return body
+
+
 @functools.partial(jax.jit, static_argnames=("model", "max_steps",
                                              "stop_threshold"))
 def synthesize_transformer_tts(
@@ -143,20 +206,10 @@ def synthesize_transformer_tts(
     Returns (mel (B, max_steps*r, mel), lengths (B,) in frames).
     Positions beyond a sample's length are zero.
     """
-    if model.decoder_type.lower() == "tacotron2":
-        raise ValueError("decoder_type='tacotron2' uses "
-                         "synthesize_tacotron2 (zoneout-LSTM loop), not "
-                         "the KV-cached transformer decode")
-    if model.ff_conv_kernel_size_decoder != 1:
-        raise ValueError(
-            "incremental decode requires ff_conv_kernel_size_decoder == 1 "
-            "(the decoder conv-FFN is SAME-padded and only causal at k=1)")
+    _ar_check(model)
     b = text.shape[0]
     r = model.reduction_rate
     mel_dim = model.mel_dim
-    heads = model.n_head_decoder
-    d_k = model.d_model_decoder // heads
-    n_layers = model.n_layer_decoder
     dtype = model.dtype
 
     src_mask = pad_mask(pos_text)
@@ -167,42 +220,14 @@ def synthesize_transformer_tts(
     cross_kvs = model.apply(variables, e_outputs,
                             method=TransformerTTS.precompute_cross_kv)
 
-    caches = tuple(
-        (jnp.zeros((b, heads, max_steps, d_k), dtype),
-         jnp.zeros((b, heads, max_steps, d_k), dtype))
-        for _ in range(n_layers))
-
-    init = dict(
-        step=jnp.zeros((), jnp.int32),
-        prev=jnp.zeros((b, 1, mel_dim), dtype),
-        caches=caches,
-        groups=jnp.zeros((b, max_steps, mel_dim * r), jnp.float32),
-        done=jnp.zeros((b,), bool),
-        length=jnp.full((b,), max_steps, jnp.int32),
-    )
+    init = _ar_init(model, b, max_steps)
 
     def cond(c):
         return jnp.logical_and(c["step"] < max_steps,
                                ~jnp.all(c["done"]))
 
-    def body(c):
-        group, stop, new_caches = model.apply(
-            variables, c["prev"], e_outputs, src_mask, c["caches"],
-            c["step"], spk_emb, cross_kvs,
-            method=TransformerTTS.decode_step)
-        group_f32 = group.astype(jnp.float32)
-        groups = jax.lax.dynamic_update_slice_in_dim(
-            c["groups"], group_f32, c["step"], axis=1)
-        # stop rule (test.py:178-184): mean over the r stop logits
-        p_stop = jax.nn.sigmoid(stop.astype(jnp.float32))[:, 0]
-        stop_now = jnp.mean(p_stop, axis=-1) > stop_threshold
-        newly_done = stop_now & ~c["done"]
-        length = jnp.where(newly_done, c["step"] + 1, c["length"])
-        # next input: first frame of the predicted group (test.py:171-176)
-        next_frame = group[:, 0, :mel_dim][:, None, :].astype(dtype)
-        return dict(step=c["step"] + 1, prev=next_frame, caches=new_caches,
-                    groups=groups, done=c["done"] | stop_now, length=length)
-
+    body = _ar_body(model, variables, e_outputs, src_mask, spk_emb,
+                    cross_kvs, stop_threshold)
     final = jax.lax.while_loop(cond, body, init)
 
     mel_pre_groups = final["groups"]                       # (B, S, mel*r)

@@ -222,7 +222,10 @@ def restore_variables(path_or_dir: str, state,
                 f"running statistics ({k}); using init-time statistics. "
                 "Regenerate the snapshot with cli.average_checkpoints "
                 "to carry them.")
-    return out
+    # Commit to the default device: snapshots written from host trees
+    # (device_get + no sharding file) restore as numpy, and a host tree
+    # passed to a jitted forward re-uploads every weight on every call.
+    return jax.device_put(out)
 
 
 def _is_params_only(path: str) -> bool:

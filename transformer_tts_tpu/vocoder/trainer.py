@@ -223,12 +223,20 @@ def restore_vocoder_checkpoint(save_dir: str, state: VocoderTrainState,
 
 def restore_generator_params(path: str, template_params=None):
     """Load generator params from either a full vocoder checkpoint dir or
-    a generator-only export (the synthesis-side entry point)."""
+    a generator-only export (the synthesis-side entry point).
+
+    The tree is committed to the default device before returning:
+    generator exports are written via ``jax.device_get`` (host numpy, no
+    sharding file), and orbax restores them as numpy — a host tree passed
+    to a jitted apply re-uploads all ~60 MB of weights on EVERY call
+    (measured ~950 ms/call over the device tunnel). ``device_put`` makes
+    restore the one-time transfer.
+    """
     import orbax.checkpoint as ocp
     full = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     if isinstance(full, dict) and "g_params" in full:
-        return full["g_params"]
-    return full
+        full = full["g_params"]
+    return jax.device_put(full)
 
 
 def export_generator(save_dir: str, state: VocoderTrainState) -> str:
