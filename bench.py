@@ -217,6 +217,44 @@ def main():
     _plausibility_guard("vocoder", voc_flops, voc_s)
     vocoder_audio_s_per_s = voc_audio_s / voc_s
 
+    # ---------------- streaming time-to-first-audio ----------------
+    # the latency capability: batch-1 engine + neural vocoder, warm
+    # TTFA of synthesize_streaming (NAR forward + first vocoder window,
+    # host-closed by the pcm chunk arriving). Exactness vs one-shot is
+    # test-enforced (tests/test_streaming.py); this measures its price.
+    import orbax.checkpoint as _ocp
+    voc_dir = _os.path.abspath(_os.path.join(eng_dir, "voc_generator"))
+    _ck = _ocp.StandardCheckpointer()
+    _ck.save(voc_dir, jax.device_get({"g_params": voc_params["params"]}))
+    _ck.wait_until_finished()
+    # streaming uses PREDICTED durations; the untrained predictor emits
+    # ~0 frames -> no audio. Bias its output to ~t/l frames per phone
+    # (weights don't change the math being timed).
+    sp = jax.tree.map(lambda x: x, state.params)
+    dp = sp["variance_adaptor"]["duration_predictor"]["linear_layer"]
+    dp["bias"] = dp["bias"] + np.log(float(t // l))
+    stream_dir = _tempfile.mkdtemp(prefix="bench_stream_")
+    _ckpt.save_checkpoint(stream_dir, state.replace(params=sp), 1,
+                          with_optimizer=False)
+    with open(_os.path.join(stream_dir, "hparams.py"), "w") as fh:
+        fh.write("amp = True\nbatch_size = 16\n")
+    streng = TTSEngine(stream_dir, batch_size=1, frames_per_phone=t // l,
+                       text_buckets=(l,), vocoder=voc_dir)
+    stream_ids = list(rs.randint(1, hp.vocab_size, l))
+
+    def ttfa_once():
+        t0 = _time.perf_counter()
+        for ev in streng.synthesize_streaming(stream_ids, chunk_frames=64):
+            if ev["type"] == "audio":
+                # pcm is host np by construction (StreamingVocoder
+                # converts) — its arrival closes the timing
+                return _time.perf_counter() - t0
+        raise RuntimeError("streaming produced no audio chunks")
+
+    ttfa_once()                        # compile batch-1 + window sigs
+    ttfa_once()
+    ttfa_ms = float(np.median([ttfa_once() for _ in range(7)])) * 1000
+
     # ---------------- training throughput ----------------
     b, lt, tt = 32, 64, 1024      # 32768 mel frames per step
     batch = {
@@ -293,6 +331,7 @@ def main():
         "serve_engine_ms_per_batch16": round(engine_s * 1000, 1),
         "serve_fwd_marginal_audio_s_per_s": round(serve_fwd_marginal, 1),
         "vocoder_audio_s_per_s": round(vocoder_audio_s_per_s, 1),
+        "streaming_ttfa_ms": round(ttfa_ms, 1),
         "synth_ms_per_utt_marginal": round(synth_s * 1000, 3),
         "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),
         "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),

@@ -430,3 +430,21 @@ def test_engine_with_neural_vocoder(tmp_path):
         with wave_mod.open(
                 io.BytesIO(base64.b64decode(out["wav_base64"]))) as fh:
             assert fh.getnframes() == r[0]["audio"].shape[0]
+
+    # export includes vocoder artifacts: the deployable unit is the
+    # full text -> mel -> waveform pipeline, no Python model code
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    out_dir = str(tmp_path / "exported")
+    manifest = engine.export(out_dir)
+    assert manifest["vocoder"]["hop_length"] == gen.hop_length
+    (budget, entry), = manifest["vocoder"]["budgets"].items()
+    with open(f"{out_dir}/{entry['file']}", "rb") as fh:
+        vexp = jexport.deserialize(fh.read())
+    mel = np.random.RandomState(1).randn(
+        2, int(budget), MEL_DIM).astype(np.float32)
+    wav_x = np.asarray(jax.jit(vexp.call)(mel))
+    _, voc_apply, voc_vars = engine._vocoder
+    wav_e = np.asarray(voc_apply(voc_vars, jnp.asarray(mel)))
+    np.testing.assert_allclose(wav_x, wav_e, atol=1e-5)

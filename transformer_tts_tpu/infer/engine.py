@@ -408,6 +408,31 @@ class TTSEngine:
             manifest["buckets"][str(bucket)] = {
                 "file": name, "max_frames": max_frames,
                 "platforms": list(exp.platforms)}
+        if self._vocoder is not None:
+            # one vocoder artifact per distinct mel budget: the full
+            # deployable unit is then text -> mel -> waveform with no
+            # Python model code. The fp32 matmul pin matches serving
+            # (streaming.vocode_pinned), so artifact samples equal the
+            # engine's (and therefore the streamed chunks').
+            gen, _, voc_vars = self._vocoder
+            budgets = sorted({self.max_frames_for(b)
+                              for b in self.text_buckets})
+            manifest["vocoder"] = {"hop_length": gen.hop_length,
+                                   "budgets": {}}
+
+            def vfn(mel):
+                with jax.default_matmul_precision("float32"):
+                    return gen.apply(voc_vars, mel)
+
+            for mf in budgets:
+                vshape = jax.ShapeDtypeStruct(
+                    (self.batch_size, mf, self.hp.mel_dim), jnp.float32)
+                exp = jexport.export(jax.jit(vfn))(vshape)
+                name = f"vocoder_b{self.batch_size}_f{mf}.stablehlo"
+                with open(os.path.join(out_dir, name), "wb") as fh:
+                    fh.write(exp.serialize())
+                manifest["vocoder"]["budgets"][str(mf)] = {
+                    "file": name, "platforms": list(exp.platforms)}
         with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
         return manifest
