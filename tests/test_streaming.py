@@ -331,3 +331,27 @@ def test_engine_streaming_ar_mel_events(tmp_path):
                           if e["type"] == "mel"])
     assert mel.shape[0] >= n
     np.testing.assert_allclose(mel[:n], ref["mel"], atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_vocoder_istft_equals_oneshot():
+    """The iSTFT family streams exactly: its declared receptive-field
+    radius covers the backbone convs AND the overlap-add span, so
+    windowed emissions match the one-shot vocode sample-for-sample."""
+    from transformer_tts_tpu.infer.streaming import (
+        StreamingVocoder, receptive_field_frames)
+    from transformer_tts_tpu.vocoder.generator import ISTFTVocoder
+    gen = ISTFTVocoder(mel_dim=MEL_DIM, channels=16, mlp_dim=32,
+                       num_layers=2, n_fft=16, hop_length=8)
+    params = gen.init(jax.random.PRNGKey(3),
+                      jnp.zeros((1, 8, MEL_DIM)))
+    assert receptive_field_frames(gen) == gen.receptive_field_radius_frames
+    rs = np.random.RandomState(4)
+    mel = rs.randn(2, 96, MEL_DIM).astype(np.float32)
+    full = np.asarray(gen.apply(params, jnp.asarray(mel)))
+    sv = StreamingVocoder(gen, params, chunk_frames=16)
+    assert sv.window < mel.shape[1]          # real windowing exercised
+    chunks = list(sv.stream(mel, length=90))
+    assert len(chunks) > 1
+    got = np.concatenate([w for _, w in chunks], axis=1)
+    np.testing.assert_allclose(got, full[:, :90 * gen.hop_length],
+                               atol=1e-5, rtol=1e-5)

@@ -283,3 +283,53 @@ def test_cli_vocoder_finetune_on_predicted_mels(tmp_path):
                   "--save_every", "2", "--sample_rate", str(rate),
                   "--n_fft", "16"])
     assert (tmp_path / "ckpt" / "generator").is_dir()
+
+
+# ------------------------------------------------------------- istft
+
+def test_istft_generator_shape_and_dispatch():
+    from transformer_tts_tpu.vocoder.trainer import build_vocoder
+    from transformer_tts_tpu.vocoder.generator import ISTFTVocoder
+    hp = HParams(**{**TINY, "vocoder_type": "istft",
+                    "vocoder_istft_n_fft": 16,
+                    "vocoder_convnext_channels": 16,
+                    "vocoder_convnext_layers": 2,
+                    "vocoder_convnext_mlp": 32})
+    gen = build_vocoder(hp)
+    assert isinstance(gen, ISTFTVocoder)
+    assert gen.hop_length == 8               # prod(vocoder_upsample_rates)
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(2, 12, MEL_DIM), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    wav = gen.apply(params, mel)
+    assert wav.shape == (2, 12 * 8)
+    assert wav.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(wav)))
+
+
+def test_istft_unknown_type_rejected():
+    from transformer_tts_tpu.vocoder.trainer import build_vocoder
+    with pytest.raises(ValueError, match="vocoder_type"):
+        build_vocoder(HParams(**{**TINY, "vocoder_type": "wavenet"}))
+
+
+def test_istft_gan_step_improves():
+    """The same GAN step trains the iSTFT family (waveform-in/out
+    contract shared with HiFiGANGenerator)."""
+    from transformer_tts_tpu.vocoder.trainer import (
+        make_vocoder_train_step)
+    hp, state, gen, disc = tiny_state(
+        vocoder_type="istft", vocoder_istft_n_fft=16,
+        vocoder_convnext_channels=16, vocoder_convnext_layers=2,
+        vocoder_convnext_mlp=32)
+    step = make_vocoder_train_step(gen, disc, hp, MEL_CFG)
+    audio = sine_batch(2, hp.vocoder_segment_size)
+    first = last = None
+    for i in range(8):
+        state, sc = step(state, audio, jax.random.PRNGKey(i))
+        vals = {k: float(v) for k, v in sc.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        if first is None:
+            first = vals["loss_mel"]
+        last = vals["loss_mel"]
+    assert last < first

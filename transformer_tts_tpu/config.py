@@ -153,8 +153,14 @@ _DEFAULTS: Dict[str, Any] = {
     "intermediate_layers_out": None,
     # --- neural vocoder (beyond parity; the reference relies on an
     # external vocoder — see vocoder/__init__.py) ---------------------------
+    "vocoder_type": "hifigan",                   # hifigan | istft
     "vocoder_upsample_rates": (8, 8, 2, 2),      # prod == hop_length
     "vocoder_upsample_kernel_sizes": (16, 16, 4, 4),
+    # istft (Vocos-style) variant: ConvNeXt backbone at frame rate
+    "vocoder_istft_n_fft": 1024,
+    "vocoder_convnext_channels": 512,
+    "vocoder_convnext_layers": 8,
+    "vocoder_convnext_mlp": 1536,
     "vocoder_channels": 512,
     "vocoder_resblock_kernel_sizes": (3, 7, 11),
     "vocoder_resblock_dilations": ((1, 3, 5), (1, 3, 5), (1, 3, 5)),

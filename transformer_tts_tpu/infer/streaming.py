@@ -69,6 +69,11 @@ def vocode_pinned(gen, variables, mel):
 def receptive_field_frames(gen) -> int:
     """Receptive-field RADIUS of the generator in mel frames (ceil).
 
+    Generators that know their own radius expose
+    ``receptive_field_radius_frames`` (e.g. ISTFTVocoder, whose radius
+    covers the backbone convs plus the iSTFT overlap-add span); the
+    HiFiGAN computation below is the fallback.
+
     Computed from the architecture (generator.py): conv_pre (k=7), per
     upsample stage the upsampling conv then the worst-case MRF resblock
     chain (sequential dilated+plain conv pairs), conv_post (k=7). A conv
@@ -76,6 +81,9 @@ def receptive_field_frames(gen) -> int:
     contributes ((k-1)//2)*d / up frames. Transposed upsampling draws
     from ceil(k/(2*r))+1 input positions (conservative).
     """
+    own = getattr(gen, "receptive_field_radius_frames", None)
+    if own is not None:
+        return int(own)
     rf = 3.0                                  # conv_pre k=7 at mel rate
     up = 1
     for i, r in enumerate(gen.upsample_rates):

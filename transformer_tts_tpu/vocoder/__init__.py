@@ -9,7 +9,8 @@ TPU-first (NLC layout, subpixel upsampling that lowers to MXU matmuls,
 bf16 compute, one fully-jitted G+D train step).
 """
 
-from transformer_tts_tpu.vocoder.generator import HiFiGANGenerator
+from transformer_tts_tpu.vocoder.generator import (
+    HiFiGANGenerator, ISTFTVocoder)
 from transformer_tts_tpu.vocoder.discriminator import (
     MultiPeriodDiscriminator, MultiScaleDiscriminator)
 

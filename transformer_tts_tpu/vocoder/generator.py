@@ -26,7 +26,9 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 
@@ -123,3 +125,87 @@ class HiFiGANGenerator(nn.Module):
                         name="conv_post"), self.use_weight_norm)(x)
         # waveform in fp32 regardless of compute dtype
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+class ConvNeXtBlock(nn.Module):
+    """depthwise conv (k) -> LayerNorm -> pointwise MLP, layer-scaled
+    residual — the Vocos backbone block. The MLP is the FLOPs body and
+    is pure MXU matmul; the depthwise conv is a thin VPU pass."""
+    channels: int
+    mlp_dim: int
+    kernel_size: int = 7
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.channels, (self.kernel_size,),
+                    feature_group_count=self.channels, padding="SAME",
+                    dtype=self.dtype, name="dwconv")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="pw1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="pw2")(h)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init),
+            (self.channels,), jnp.float32)
+        return x + gamma.astype(h.dtype) * h
+
+
+class ISTFTVocoder(nn.Module):
+    """mel (B, T, mel_dim) -> waveform (B, T * hop_length), iSTFT head.
+
+    Vocos-recipe alternative to time-domain upsampling (Siuzdak 2023,
+    hyperparameter names only): the ConvNeXt backbone runs at FRAME rate
+    — ``hop_length``× fewer conv positions than HiFiGAN's upsampled
+    stacks — and the head predicts a per-frame log-magnitude + phase
+    spectrum; synthesis is one ``irfft`` + windowed overlap-add (dense
+    XLA FFT + scatter-add, both cheap next to the backbone). Trains
+    under the same GAN step as HiFiGANGenerator (waveform-in,
+    waveform-out contract).
+
+    Streaming: ``receptive_field_radius_frames`` covers the backbone's
+    conv stack plus the iSTFT overlap-add span, so
+    ``infer.streaming.StreamingVocoder`` windows are exact.
+    """
+    mel_dim: int = 80
+    channels: int = 512
+    mlp_dim: int = 1536
+    num_layers: int = 8
+    kernel_size: int = 7
+    n_fft: int = 1024
+    hop_length: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def receptive_field_radius_frames(self) -> int:
+        # embed conv + one dwconv per block, all at frame rate, plus the
+        # OLA span (frames whose irfft touches a sample) and its wsum
+        # edge region
+        return ((self.kernel_size // 2) * (self.num_layers + 1)
+                + self.n_fft // self.hop_length)
+
+    @nn.compact
+    def __call__(self, mel):
+        from transformer_tts_tpu.ops.melspectrogram import _istft
+        x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype, name="embed")(mel.astype(self.dtype))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm_pre")(x)
+        for i in range(self.num_layers):
+            x = ConvNeXtBlock(self.channels, self.mlp_dim,
+                              self.kernel_size, dtype=self.dtype,
+                              name=f"block_{i}")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm_post")(x)
+        # head + synthesis in fp32: phase wrap and OLA normalization are
+        # the numerically delicate path
+        h = nn.Dense(self.n_fft + 2, dtype=jnp.float32,
+                     name="head")(x.astype(jnp.float32))
+        n_bins = self.n_fft // 2 + 1
+        # clip log-magnitude: an untrained head can emit exp-overflow
+        logmag = jnp.clip(h[..., :n_bins], -1e2, 7.0)
+        phase = h[..., n_bins:]
+        spec = jnp.exp(logmag) * jax.lax.complex(
+            jnp.cos(phase), jnp.sin(phase))
+        window = jnp.asarray(np.hanning(self.n_fft + 1)[:-1], jnp.float32)
+        return _istft(spec, self.n_fft, self.hop_length, window,
+                      mel.shape[1] * self.hop_length)

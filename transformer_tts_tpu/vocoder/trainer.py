@@ -35,7 +35,8 @@ from flax import struct
 from transformer_tts_tpu.config import HParams
 from transformer_tts_tpu.ops.melspectrogram import log_mel_spectrogram
 from transformer_tts_tpu.vocoder.discriminator import VocoderDiscriminator
-from transformer_tts_tpu.vocoder.generator import HiFiGANGenerator
+from transformer_tts_tpu.vocoder.generator import (
+    HiFiGANGenerator, ISTFTVocoder)
 
 
 class VocoderTrainState(struct.PyTreeNode):
@@ -48,9 +49,29 @@ class VocoderTrainState(struct.PyTreeNode):
     d_tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
-def build_vocoder(hp: HParams, *, train_dtype=None) -> HiFiGANGenerator:
+def build_vocoder(hp: HParams, *, train_dtype=None):
+    """hp.vocoder_type selects the generator family: "hifigan"
+    (time-domain upsampling) or "istft" (Vocos-style frame-rate
+    backbone + iSTFT head — ~hop_length× fewer conv positions). Both
+    share the (B, T, mel) -> (B, T*hop) contract, the GAN step, and the
+    serving/streaming paths."""
     dtype = train_dtype if train_dtype is not None else (
         jnp.bfloat16 if hp.amp else jnp.float32)
+    vtype = (hp.vocoder_type or "hifigan").lower()
+    if vtype == "istft":
+        hop = 1
+        for r in hp.vocoder_upsample_rates:
+            hop *= r
+        return ISTFTVocoder(
+            mel_dim=hp.mel_dim,
+            channels=hp.vocoder_convnext_channels,
+            mlp_dim=hp.vocoder_convnext_mlp,
+            num_layers=hp.vocoder_convnext_layers,
+            n_fft=hp.vocoder_istft_n_fft,
+            hop_length=hop,
+            dtype=dtype)
+    if vtype != "hifigan":
+        raise ValueError(f"unknown vocoder_type {hp.vocoder_type!r}")
     return HiFiGANGenerator(
         mel_dim=hp.mel_dim,
         upsample_rates=tuple(hp.vocoder_upsample_rates),
