@@ -217,6 +217,30 @@ def main():
     _plausibility_guard("vocoder", voc_flops, voc_s)
     vocoder_audio_s_per_s = voc_audio_s / voc_s
 
+    # iSTFT (Vocos-recipe) family: frame-rate ConvNeXt backbone + OLA
+    # head — the fast generator (see PERF_NOTES "Vocoder generators")
+    from transformer_tts_tpu.vocoder.generator import ISTFTVocoder
+    ivoc = ISTFTVocoder(dtype=jnp.bfloat16)
+    ivoc_params = jax.jit(ivoc.init)(rng, voc_mel)
+
+    @jax.jit
+    def ivoc_fn(params, mel, carry):
+        return jnp.sum(ivoc.apply(params, mel + carry * 0))
+
+    def ivoc_chain(k):
+        carry = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            carry = ivoc_fn(ivoc_params, voc_mel, carry)
+        return float(carry)
+
+    ivoc_chain(2)
+    ivoc_s, _, _, _ = _slope_time(ivoc_chain, 8)
+    ivoc_flops = _flops_of(ivoc_fn, (ivoc_params, voc_mel,
+                                     jnp.zeros((), jnp.float32)))
+    _plausibility_guard("vocoder_istft", ivoc_flops, ivoc_s)
+    vocoder_istft_audio_s_per_s = (
+        8 * 256 * ivoc.hop_length / 22050.0) / ivoc_s
+
     # ---------------- streaming time-to-first-audio ----------------
     # the latency capability: batch-1 engine + neural vocoder, warm
     # TTFA of synthesize_streaming (NAR forward + first vocoder window,
@@ -331,6 +355,8 @@ def main():
         "serve_engine_ms_per_batch16": round(engine_s * 1000, 1),
         "serve_fwd_marginal_audio_s_per_s": round(serve_fwd_marginal, 1),
         "vocoder_audio_s_per_s": round(vocoder_audio_s_per_s, 1),
+        "vocoder_istft_audio_s_per_s": round(
+            vocoder_istft_audio_s_per_s, 1),
         "streaming_ttfa_ms": round(ttfa_ms, 1),
         "synth_ms_per_utt_marginal": round(synth_s * 1000, 3),
         "synth_ms_per_utt_min": round(synth_s_min * 1000, 3),

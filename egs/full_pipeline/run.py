@@ -1,0 +1,453 @@
+"""One-command FULL-PIPELINE demonstration: raw WAVs -> speaking model.
+
+The reference stops at mels and defers audio to an external aligner and
+an external vocoder (/root/reference/README.md:25-28). This recipe runs
+the ENTIRE stack in-framework through the real CLIs, end to end:
+
+1. builds a deterministic synthetic *audio* language (each phone id maps
+   to a fixed harmonic tone with a fixed duration) and writes 16-bit
+   WAVs + the ``wav|text_ids`` script,
+2. ``cli/prepare_data``: on-device log-mel / YIN-f0 / energy extraction,
+   corpus statistics, lengths cache,
+3. durations: by construction (``--durations known``, default) or the
+   canonical FastSpeech recipe (``--durations teacher``: train the AR
+   Transformer-TTS teacher with ``cli/train``, then
+   ``cli/extract_durations`` from its cross-attention),
+4. ``cli/train``: FastSpeech2 on the extracted features (pitch/energy
+   predictors ON — they learn the corpus's real YIN/energy contours),
+   then ``cli/average_checkpoints`` (README.md:22-23 workflow),
+5. ``cli/train_vocoder``: a GAN vocoder on the same WAVs (default the
+   iSTFT/Vocos family — ``--vocoder-family hifigan`` for time-domain
+   upsampling),
+6. ``cli/synthesize --vocoder``: text -> mel -> WAVEFORM with predicted
+   durations,
+7. audio-domain scoring: synthesized and ground-truth wavs are
+   re-analyzed with the same on-device featurizer; mel-L1 (pad) and MCD
+   (DTW) vs an untrained-acoustic baseline through the same vocoder,
+   plus the vocoder's own copy-synthesis quality (ground-truth mel ->
+   audio vs ground-truth audio).
+
+Run from the repo root (~6 min on one v5e chip):
+
+    python egs/full_pipeline/run.py [--workdir DIR] [--max_epoch N]
+        [--voc_steps N] [--durations known|teacher]
+
+Prints one JSON summary line and asserts (a) the acoustic model's mel
+error collapsed vs the untrained baseline and (b) the full pipeline's
+audio-domain mel-L1 reached the vocoder's own copy-synthesis floor
+(GT-mel -> audio vs GT audio — the best any acoustic model could score
+through that vocoder). docs/LEARNING_DEMO.md records a committed chip
+run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+MEL_DIM = 80
+VOCAB = 24
+SR = 8000
+HOP = 128
+N_FFT = 512
+MEL_CFG = dict(sample_rate=SR, n_fft=N_FFT, hop_length=HOP,
+               n_mels=MEL_DIM)
+
+
+def phone_wave(p: int, n_frames: int) -> np.ndarray:
+    """Deterministic harmonic tone for phone id p, n_frames * HOP samples."""
+    f0 = 110.0 * 2.0 ** (p / 16.0)               # 110..297 Hz
+    n = n_frames * HOP
+    t = np.arange(n) / SR
+    a2 = 0.3 * (((p * 7) % 5) + 1) / 5.0
+    a3 = 0.15 * (((p * 3) % 7) + 1) / 7.0
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)
+         + a2 * np.sin(2 * np.pi * 2 * f0 * t)
+         + a3 * np.sin(2 * np.pi * 3 * f0 * t))
+    ramp = min(40, n // 4)                        # 5 ms edge fades
+    env = np.ones(n)
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+    return (x * env * 0.8).astype(np.float32)
+
+
+def phone_duration(p: int) -> int:
+    return 3 + p % 4                              # 3..6 frames
+
+
+def build_audio_corpus(workdir: str, n_utts: int = 64, seed: int = 0,
+                       min_phones: int = 6, max_phones: int = 14):
+    rs = np.random.RandomState(seed)
+    wav_dir = os.path.join(workdir, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    lines, durations = [], {}
+    for i in range(n_utts):
+        phones = rs.randint(1, VOCAB, rs.randint(min_phones, max_phones))
+        d = np.asarray([phone_duration(int(p)) for p in phones], np.int32)
+        audio = np.concatenate([phone_wave(int(p), int(di))
+                                for p, di in zip(phones, d)])
+        path = os.path.join(wav_dir, f"utt{i}.wav")
+        with wave.open(path, "wb") as fh:
+            fh.setnchannels(1)
+            fh.setsampwidth(2)
+            fh.setframerate(SR)
+            fh.writeframes(np.clip(audio * 32767, -32767, 32767)
+                           .astype(np.int16).tobytes())
+        # center framing: the extractor emits sum(d)+1 frames; the last
+        # phone absorbs the extra frame so durations sum to mel length
+        d[-1] += 1
+        durations[f"utt{i}"] = d
+        lines.append(f"{path}|{' '.join(str(int(p)) for p in phones)}")
+    with open(os.path.join(workdir, "wavs.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(workdir, "wav_paths.txt"), "w") as fh:
+        fh.write("\n".join(ln.split("|")[0] for ln in lines) + "\n")
+    return durations
+
+
+def write_acoustic_hparams(workdir: str, feat_dir: str, save_dir: str,
+                           max_epoch: int, extra: dict | None = None):
+    cfg = dict(
+        architecture="text-mel", model="Fastspeech2",
+        vocab_size=VOCAB, mel_dim=MEL_DIM,
+        d_model_encoder=384, d_model_decoder=384,
+        n_layer_encoder=6, n_layer_decoder=6,
+        n_head_encoder=4, n_head_decoder=4,
+        ff_conv_kernel_size_encoder=5, ff_conv_kernel_size_decoder=1,
+        batch_size=16, max_epoch=max_epoch, save_per_epoch=max_epoch,
+        warmup_step=100, warmup_factor=1.0, amp=True,
+        # the full variance adaptor trains on the EXTRACTED contours
+        pitch_pred=True, energy_pred=True,
+        f0_min=71.0, f0_max=500.0,
+        dropout_variance_adaptor=0.1,
+        train_script=os.path.join(feat_dir, "train.txt"),
+        test_script=os.path.join(feat_dir, "test.txt"),
+        mean_file=os.path.join(feat_dir, "mean.npy"),
+        var_file=os.path.join(feat_dir, "var.npy"),
+        lengths_file=os.path.join(feat_dir, "lengths.npy"),
+        save_dir=save_dir, log_every=20, num_workers=2,
+        text_buckets=(16,), length_buckets=(96,),
+        # vocoder architecture rides in the acoustic hparams so
+        # synthesize --vocoder builds the matching generator
+        vocoder_type="istft",
+        vocoder_upsample_rates=(8, 4, 4),        # hop 128
+        vocoder_upsample_kernel_sizes=(16, 8, 8),
+        vocoder_istft_n_fft=N_FFT,
+        vocoder_convnext_channels=256,
+        vocoder_convnext_layers=4,
+        vocoder_convnext_mlp=768,
+        vocoder_channels=128,
+        vocoder_resblock_kernel_sizes=(3, 7),
+        vocoder_resblock_dilations=((1, 3, 5), (1, 3, 5)),
+        vocoder_periods=(2, 3, 5), vocoder_num_scales=2,
+        vocoder_segment_size=2048,               # 16 frames
+    )
+    cfg.update(extra or {})
+    path = os.path.join(workdir, "hparams.py")
+    with open(path, "w") as fh:
+        fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
+    return path, cfg
+
+
+def split_scripts(feat_dir: str, n_test: int = 8):
+    with open(os.path.join(feat_dir, "train_script.txt")) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    with open(os.path.join(feat_dir, "train.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(feat_dir, "test.txt"), "w") as fh:
+        fh.write("\n".join(lines[:n_test]) + "\n")
+    return lines
+
+
+def mel_scores(gen_dir: str, feat_dir: str, n_test: int = 8) -> dict:
+    """Synthesized de-normalized log-mels vs the extracted ground-truth
+    mels (pad semantics of egs/synthetic_overfit): the ACOUSTIC model's
+    learning signal, independent of vocoder quality."""
+    from transformer_tts_tpu.eval import mel_l1
+    l1s = []
+    for idx in range(n_test):
+        ref = np.load(os.path.join(feat_dir, f"utt{idx}.npy"))
+        gen = np.load(os.path.join(gen_dir, f"{idx}.npy"))
+        if gen.shape[0] == 0:
+            gen = np.zeros_like(ref)
+        elif gen.shape[0] < ref.shape[0]:
+            gen = np.concatenate(
+                [gen, np.zeros((ref.shape[0] - gen.shape[0],
+                                gen.shape[1]), gen.dtype)])
+        l1s.append(float(mel_l1(ref, gen)))
+    return {"mel_l1": float(np.mean(l1s)), "n": n_test}
+
+
+def audio_scores(gen_dir: str, feat_dir: str, workdir: str,
+                 n_test: int = 8) -> dict:
+    """Re-analyze synthesized and ground-truth WAVs with the same
+    featurizer; mel-L1 (pad semantics of the mel demo) + MCD (DTW)."""
+    import jax.numpy as jnp
+    from transformer_tts_tpu.eval import mcd, mel_l1
+    from transformer_tts_tpu.ops.features import read_wav
+    from transformer_tts_tpu.ops.melspectrogram import log_mel_spectrogram
+
+    def logmel(path):
+        audio, _ = read_wav(path, expected_rate=SR)
+        return np.asarray(log_mel_spectrogram(jnp.asarray(audio),
+                                              **MEL_CFG), np.float32)
+
+    l1s, mcds = [], []
+    for idx in range(n_test):
+        ref = logmel(os.path.join(workdir, "wavs", f"utt{idx}.wav"))
+        gen_path = os.path.join(gen_dir, f"{idx}.wav")
+        if not os.path.exists(gen_path):
+            gen = np.zeros_like(ref)              # no audio: silence
+        else:
+            gen = logmel(gen_path)
+        if gen.shape[0] == 0:
+            gen = np.zeros_like(ref)
+        elif gen.shape[0] < ref.shape[0]:
+            gen = np.concatenate(
+                [gen, np.zeros((ref.shape[0] - gen.shape[0],
+                                gen.shape[1]), gen.dtype)])
+        l1s.append(float(mel_l1(ref, gen)))
+        mcds.append(float(mcd(ref, gen)))         # DTW when lengths differ
+    return {"mel_l1": float(np.mean(l1s)), "mcd": float(np.mean(mcds)),
+            "n": n_test}
+
+
+def copy_synthesis_score(voc_dir: str, cfg: dict, feat_dir: str,
+                         workdir: str, n_test: int = 8) -> dict:
+    """Vocode GROUND-TRUTH mels, compare to ground-truth audio: the
+    vocoder's own quality, independent of the acoustic model."""
+    import jax
+    import jax.numpy as jnp
+    from transformer_tts_tpu.config import HParams
+    from transformer_tts_tpu.eval import mel_l1
+    from transformer_tts_tpu.ops.features import read_wav
+    from transformer_tts_tpu.ops.melspectrogram import log_mel_spectrogram
+    from transformer_tts_tpu.vocoder.trainer import (
+        build_vocoder, restore_generator_params)
+
+    gen = build_vocoder(HParams(**cfg), train_dtype=jnp.float32)
+    variables = {"params": restore_generator_params(voc_dir)}
+    apply_fn = jax.jit(gen.apply)
+    l1s = []
+    bucket = 96                                   # one compiled signature
+    for idx in range(n_test):
+        mel = np.load(os.path.join(feat_dir, f"utt{idx}.npy"))
+        n = mel.shape[0]
+        mel_pad = np.zeros((bucket, mel.shape[1]), np.float32)
+        mel_pad[:n] = mel
+        wav = np.asarray(apply_fn(
+            variables, jnp.asarray(mel_pad)[None]))[0, : n * HOP]
+        remel = np.asarray(log_mel_spectrogram(jnp.asarray(wav),
+                                               **MEL_CFG), np.float32)
+        audio, _ = read_wav(os.path.join(workdir, "wavs",
+                                         f"utt{idx}.wav"),
+                            expected_rate=SR)
+        ref = np.asarray(log_mel_spectrogram(jnp.asarray(audio),
+                                             **MEL_CFG), np.float32)
+        n = min(remel.shape[0], ref.shape[0])
+        l1s.append(float(mel_l1(ref[:n], remel[:n])))
+    return {"copy_synthesis_mel_l1": float(np.mean(l1s)), "n": n_test}
+
+
+def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra):
+    """--durations teacher: AR teacher + cross-attention extraction
+    (the canonical FastSpeech recipe; cli/extract_durations.py)."""
+    from transformer_tts_tpu.cli import extract_durations as cli_ext
+    from transformer_tts_tpu.cli import train as cli_train
+    ar_dir = os.path.join(workdir, "ckpt_ar")
+    cfg = dict(
+        architecture="text-mel", model="Transformer", reduction_rate=2,
+        vocab_size=VOCAB, mel_dim=MEL_DIM,
+        d_model_encoder=384, d_model_decoder=384,
+        n_layer_encoder=6, n_layer_decoder=6,
+        n_head_encoder=4, n_head_decoder=4,
+        ff_conv_kernel_size_encoder=5, ff_conv_kernel_size_decoder=1,
+        batch_size=16, max_epoch=400, save_per_epoch=400,
+        warmup_step=1000, warmup_factor=1.0, amp=True,
+        positive_weight=5.0,
+        train_script=os.path.join(feat_dir, "train.txt"),
+        test_script=os.path.join(feat_dir, "test.txt"),
+        mean_file=os.path.join(feat_dir, "mean.npy"),
+        var_file=os.path.join(feat_dir, "var.npy"),
+        lengths_file=os.path.join(feat_dir, "lengths.npy"),
+        save_dir=ar_dir, log_every=50, num_workers=2,
+        text_buckets=(16,), length_buckets=(96,),
+    )
+    cfg.update(tiny_extra or {})
+    hp_path = os.path.join(workdir, "hparams_ar.py")
+    with open(hp_path, "w") as fh:
+        fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
+    cli_train.main(["--hp_file", hp_path])
+    cli_ext.main(["--load_name", ar_dir,       # latest epoch auto-resolved
+                  "--script", os.path.join(feat_dir, "train.txt")])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/tts_full_pipeline")
+    ap.add_argument("--max_epoch", type=int, default=300)
+    ap.add_argument("--voc_steps", type=int, default=2000)
+    ap.add_argument("--durations", choices=("known", "teacher"),
+                    default="known")
+    ap.add_argument("--vocoder-family", choices=("istft", "hifigan"),
+                    default="istft", dest="vocoder_family")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-budget variant (d_model 64, 2+2 layers, "
+                         "tiny vocoder, relaxed bar: >3x collapse or "
+                         "mel-L1 < 1.0) — the weekly-tier CI stand-in")
+    args = ap.parse_args(argv)
+
+    if args.tiny:
+        args.max_epoch = min(args.max_epoch, 80)
+        args.voc_steps = min(args.voc_steps, 500)
+
+    if os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir)
+
+    from transformer_tts_tpu.cli import average_checkpoints as cli_avg
+    from transformer_tts_tpu.cli import prepare_data as cli_prep
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.cli import train_vocoder as cli_voc
+
+    # ---- 1+2: audio corpus + on-device feature extraction ----
+    durations = build_audio_corpus(args.workdir)
+    feat_dir = os.path.join(args.workdir, "feats")
+    cli_prep.main(["--wav_script", os.path.join(args.workdir, "wavs.txt"),
+                   "--out_dir", feat_dir,
+                   "--sample_rate", str(SR), "--n_fft", str(N_FFT),
+                   "--hop_length", str(HOP), "--n_mels", str(MEL_DIM),
+                   "--f0_min", "71.0", "--f0_max", "500.0"])
+    lines = split_scripts(feat_dir)
+
+    extra = {}
+    if args.tiny:
+        extra = dict(d_model_encoder=64, d_model_decoder=64,
+                     n_layer_encoder=2, n_layer_decoder=2,
+                     n_head_encoder=2, n_head_decoder=2,
+                     vocoder_convnext_channels=32,
+                     vocoder_convnext_layers=2,
+                     vocoder_convnext_mlp=64,
+                     vocoder_channels=16,
+                     vocoder_resblock_kernel_sizes=(3,),
+                     vocoder_resblock_dilations=((1, 3),),
+                     vocoder_periods=(2, 3), vocoder_num_scales=2)
+    if args.vocoder_family == "hifigan":
+        extra["vocoder_type"] = "hifigan"
+
+    # ---- 3: durations ----
+    if args.durations == "teacher":
+        teacher_durations(args.workdir, feat_dir, lines,
+                          dict(d_model_encoder=64, d_model_decoder=64,
+                               n_layer_encoder=2, n_layer_decoder=2,
+                               n_head_encoder=2, n_head_decoder=2,
+                               max_epoch=60) if args.tiny else {})
+    else:
+        for line in lines:
+            mel_path = line.split("|")[0]
+            stem = os.path.splitext(os.path.basename(mel_path))[0]
+            np.save(os.path.join(feat_dir, f"{stem}_alignment.npy"),
+                    durations[stem])
+
+    # ---- 4: acoustic model (untrained baseline, then the real run) ----
+    base_dir = os.path.join(args.workdir, "ckpt_baseline")
+    hp0, _ = write_acoustic_hparams(
+        args.workdir, feat_dir, base_dir, 1, extra)
+    cli_train.main(["--hp_file", hp0, "--max_steps", "1"])
+
+    save_dir = os.path.join(args.workdir, "ckpt")
+    hp_path, cfg = write_acoustic_hparams(
+        args.workdir, feat_dir, save_dir, args.max_epoch, extra)
+    cli_train.main(["--hp_file", hp_path])
+    cli_avg.main(["--save_dir", save_dir,
+                  "--start_epoch", str(max(1, args.max_epoch - 9)),
+                  "--end_epoch", str(args.max_epoch)])
+    avg_name = (f"average_epoch{max(1, args.max_epoch - 9)}"
+                f"-epoch{args.max_epoch}")
+
+    # ---- 5: vocoder on the same WAVs ----
+    voc_save = os.path.join(args.workdir, "ckpt_voc")
+    cli_voc.main(["--hp_file", hp_path,
+                  "--wav_script", os.path.join(args.workdir,
+                                               "wav_paths.txt"),
+                  "--max_steps", str(args.voc_steps),
+                  "--batch_size", "8",
+                  "--save_every", str(args.voc_steps),
+                  "--sample_rate", str(SR), "--n_fft", str(N_FFT),
+                  "--set", f"save_dir={voc_save!r}"])
+    voc_gen_dir = os.path.join(voc_save, "generator")
+
+    # ---- 6: text -> waveform ----
+    def synth(load, out):
+        cli_synth.main(["--load_name", load, "--save", out,
+                        "--batch_size", "8", "--max_frames", "96",
+                        "--vocoder", voc_gen_dir,
+                        "--sample_rate", str(SR),
+                        "--hop_length", str(HOP)])
+
+    base_gen = os.path.join(args.workdir, "gen_baseline")
+    synth(os.path.join(base_dir, "epoch_1"), base_gen)
+    gen_dir = os.path.join(args.workdir, "gen")
+    synth(os.path.join(save_dir, avg_name), gen_dir)
+
+    # ---- 7: scores ----
+    # mel domain (acoustic learning), audio domain (full pipeline), and
+    # the vocoder's own copy-synthesis floor (GT mel -> audio vs GT
+    # audio) — the pipeline cannot score better than that floor, so the
+    # pass criteria are (a) the acoustic model's mel error collapses and
+    # (b) the full pipeline reaches the vocoder floor.
+    base_mel = mel_scores(base_gen, feat_dir)
+    trained_mel = mel_scores(gen_dir, feat_dir)
+    baseline = audio_scores(base_gen, feat_dir, args.workdir)
+    trained = audio_scores(gen_dir, feat_dir, args.workdir)
+    voc_quality = copy_synthesis_score(voc_gen_dir, cfg, feat_dir,
+                                       args.workdir)
+    copy_syn = voc_quality["copy_synthesis_mel_l1"]
+    summary = {
+        "baseline_mel_l1": round(base_mel["mel_l1"], 4),
+        "trained_mel_l1": round(trained_mel["mel_l1"], 4),
+        "mel_collapse_x": round(base_mel["mel_l1"]
+                                / max(trained_mel["mel_l1"], 1e-9), 1),
+        "baseline_audio_mel_l1": round(baseline["mel_l1"], 4),
+        "baseline_audio_mcd": round(baseline["mcd"], 3),
+        "trained_audio_mel_l1": round(trained["mel_l1"], 4),
+        "trained_audio_mcd": round(trained["mcd"], 3),
+        "copy_synthesis_mel_l1": round(copy_syn, 4),
+        "audio_gap_to_vocoder_floor": round(
+            trained["mel_l1"] - copy_syn, 4),
+        "epochs": args.max_epoch, "voc_steps": args.voc_steps,
+        "durations": args.durations,
+        "vocoder_family": args.vocoder_family,
+    }
+    print(json.dumps(summary), flush=True)
+    if args.tiny:
+        ok_acoustic = (trained_mel["mel_l1"] < 2.0
+                       or trained_mel["mel_l1"] * 2
+                       < base_mel["mel_l1"])
+        ok_pipeline = trained["mel_l1"] < copy_syn + 1.5
+    else:
+        ok_acoustic = (trained_mel["mel_l1"] < 1.0
+                       or trained_mel["mel_l1"] * 5
+                       < base_mel["mel_l1"])
+        ok_pipeline = trained["mel_l1"] < copy_syn + 1.0
+    assert ok_acoustic, f"acoustic model did not learn: {summary}"
+    assert ok_pipeline, \
+        f"pipeline did not reach the vocoder floor: {summary}"
+    if not args.keep:
+        shutil.rmtree(args.workdir)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

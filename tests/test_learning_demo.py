@@ -37,3 +37,25 @@ def test_learning_demo_tiny_fs2(tmp_path):
     # mel-L1 < 0.2); re-assert here so the test reads standalone
     assert (summary["trained_mel_l1"] < 0.2
             or summary["trained_mel_l1"] * 5 < summary["baseline_mel_l1"])
+
+
+_FULL_RUN_PY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "egs", "full_pipeline", "run.py")
+
+
+@pytest.mark.weekly
+@pytest.mark.slow
+def test_full_pipeline_tiny(tmp_path):
+    """Raw WAVs -> prepare_data -> FS2 -> GAN vocoder -> text->waveform
+    -> audio-domain eval, all through the real CLIs (the --tiny variant
+    of egs/full_pipeline/run.py; committed chip runs in
+    docs/LEARNING_DEMO.md)."""
+    spec = importlib.util.spec_from_file_location(
+        "full_pipeline_run", _FULL_RUN_PY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    summary = mod.main(["--tiny", "--workdir", str(tmp_path / "work")])
+    # recipe.main asserts the --tiny bars itself; re-assert the
+    # pipeline-reaches-vocoder-floor criterion so the test reads alone
+    assert (summary["trained_audio_mel_l1"]
+            < summary["copy_synthesis_mel_l1"] + 1.5)
