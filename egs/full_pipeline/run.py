@@ -13,8 +13,8 @@ the ENTIRE stack in-framework through the real CLIs, end to end:
    canonical FastSpeech recipe (``--durations teacher``: train the AR
    Transformer-TTS teacher with ``cli/train``, then
    ``cli/extract_durations`` from its cross-attention),
-4. ``cli/train``: FastSpeech2 on the extracted features (pitch/energy
-   predictors ON — they learn the corpus's real YIN/energy contours),
+4. ``cli/train``: FastSpeech2 on the extracted features (duration-only
+   variance adaptor — see the note in ``write_acoustic_hparams``),
    then ``cli/average_checkpoints`` (README.md:22-23 workflow),
 5. ``cli/train_vocoder``: a GAN vocoder on the same WAVs (default the
    iSTFT/Vocos family — ``--vocoder-family hifigan`` for time-domain
@@ -64,20 +64,31 @@ MEL_CFG = dict(sample_rate=SR, n_fft=N_FFT, hop_length=HOP,
 
 
 def phone_wave(p: int, n_frames: int) -> np.ndarray:
-    """Deterministic harmonic tone for phone id p, n_frames * HOP samples."""
+    """Deterministic BROADBAND harmonic tone for phone id p.
+
+    12 harmonics with phone-specific amplitudes span up to ~3.6 kHz so
+    phone identity shows in (almost) every mel bin. A first version
+    used 3 harmonics under 900 Hz; with 65 of 80 mel bins then constant
+    silence, the gradient signal rewarding text-dependence was so weak
+    the acoustic model converged to a position-only (text-ignoring)
+    optimum — measured: output mel delta between two disjoint phone
+    sequences 7e-4 after 3.6k steps.
+    """
     f0 = 110.0 * 2.0 ** (p / 16.0)               # 110..297 Hz
     n = n_frames * HOP
     t = np.arange(n) / SR
-    a2 = 0.3 * (((p * 7) % 5) + 1) / 5.0
-    a3 = 0.15 * (((p * 3) % 7) + 1) / 7.0
-    x = (0.5 * np.sin(2 * np.pi * f0 * t)
-         + a2 * np.sin(2 * np.pi * 2 * f0 * t)
-         + a3 * np.sin(2 * np.pi * 3 * f0 * t))
+    x = np.zeros(n)
+    for k in range(1, 13):
+        if k * f0 >= SR / 2 * 0.95:
+            break
+        a = (((p * k * 7) % 9) + 1) / 9.0 * 0.8 ** (k - 1)
+        x += a * np.sin(2 * np.pi * k * f0 * t)
+    x *= 0.5 / max(np.abs(x).max(), 1e-6)
     ramp = min(40, n // 4)                        # 5 ms edge fades
     env = np.ones(n)
     env[:ramp] = np.linspace(0, 1, ramp)
     env[-ramp:] = np.linspace(1, 0, ramp)
-    return (x * env * 0.8).astype(np.float32)
+    return (x * env).astype(np.float32)
 
 
 def phone_duration(p: int) -> int:
@@ -125,8 +136,14 @@ def write_acoustic_hparams(workdir: str, feat_dir: str, save_dir: str,
         ff_conv_kernel_size_encoder=5, ff_conv_kernel_size_decoder=1,
         batch_size=16, max_epoch=max_epoch, save_per_epoch=max_epoch,
         warmup_step=100, warmup_factor=1.0, amp=True,
-        # the full variance adaptor trains on the EXTRACTED contours
-        pitch_pred=True, energy_pred=True,
+        # duration-only variance adaptor for the DEMO: the reference's
+        # raw-Hz f0 L1 dominates loss_total ~10:1 (measured, see
+        # docs/LEARNING_DEMO.md design notes) and an unconverged
+        # predictor poisons the decoder through the pitch embeddings at
+        # inference. The full pitch/energy path is exercised by unit
+        # and CLI e2e tests; the opt-in standardized mode
+        # (f0_mean/f0_std, variance_stats.json) addresses the balance.
+        pitch_pred=False, energy_pred=False,
         f0_min=71.0, f0_max=500.0,
         dropout_variance_adaptor=0.1,
         train_script=os.path.join(feat_dir, "train.txt"),
@@ -294,7 +311,7 @@ def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/tts_full_pipeline")
-    ap.add_argument("--max_epoch", type=int, default=300)
+    ap.add_argument("--max_epoch", type=int, default=600)
     ap.add_argument("--voc_steps", type=int, default=2000)
     ap.add_argument("--durations", choices=("known", "teacher"),
                     default="known")
@@ -308,7 +325,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.tiny:
-        args.max_epoch = min(args.max_epoch, 80)
+        args.max_epoch = min(args.max_epoch, 150)
         args.voc_steps = min(args.voc_steps, 500)
 
     if os.path.exists(args.workdir):
@@ -433,7 +450,7 @@ def main(argv=None):
     print(json.dumps(summary), flush=True)
     if args.tiny:
         ok_acoustic = (trained_mel["mel_l1"] < 2.0
-                       or trained_mel["mel_l1"] * 2
+                       or trained_mel["mel_l1"] * 1.5
                        < base_mel["mel_l1"])
         ok_pipeline = trained["mel_l1"] < copy_syn + 1.5
     else:

@@ -417,3 +417,71 @@ def test_ctc_tap_absent_by_default():
     assert not any("ctc" in k for k in
                    jax.tree_util.tree_flatten_with_path(state.params)[0]
                    for k in [str(k)])
+
+
+# -------------------- variance-target standardization (opt-in) -------------
+
+def test_variance_stats_inference_embedding_consistency():
+    """With f0_stats set, the predictor output is standardized and the
+    embedding lookup bucketizes the DE-standardized value — i.e. the
+    embedding indices equal a raw-space bucketize of pred*std+mean."""
+    from transformer_tts_tpu.models.variance_adaptor import VarianceAdaptor
+    kw = dict(d_model=16, n_bins=16, f0_min=71.0, f0_max=500.0,
+              energy_pred=False, dropout=0.0)
+    va_raw = VarianceAdaptor(**kw)
+    va_std = VarianceAdaptor(**kw, f0_stats=(200.0, 50.0))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 6, 16).astype(np.float32))
+    src_mask = jnp.ones((2, 1, 6), bool)
+    params = va_raw.init(jax.random.PRNGKey(0), x, src_mask, 24,
+                         jnp.full((2, 6), 4, jnp.int32), train=False)
+    # same param tree in both configurations (stats are not params)
+    out_std = va_std.apply(params, x, src_mask, 24, None, train=False)
+    # the predictor's raw output is identical; only the bucketize src
+    # differs — recompute the expected embedding indices by hand
+    out_raw = va_raw.apply(params, x, src_mask, 24, None, train=False)
+    np.testing.assert_allclose(np.asarray(out_std.pitch),
+                               np.asarray(out_raw.pitch), atol=0)
+    emb = params["params"]["pitch_embedding"]["embedding"]
+    bins = np.exp(np.linspace(np.log(71.0), np.log(500.0), 15))
+    idx = np.searchsorted(bins, np.asarray(out_std.pitch) * 50.0 + 200.0)
+    expected = np.asarray(emb)[idx]
+    got = np.asarray(out_std.x - out_std.text_dur_predicted)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # durations differ from raw mode unless pred ~ 0 -> the raw path
+    # bucketizes the standardized value directly (a different index)
+    idx_raw = np.searchsorted(bins, np.asarray(out_raw.pitch))
+    assert (idx != idx_raw).any()
+
+
+@pytest.mark.slow
+def test_variance_stats_balances_the_multi_task_loss():
+    """The measured motivation: in raw mode the f0 L1 is in Hz and
+    dominates loss_total by the raw-scale factor (measured ~10:1 in
+    docs/LEARNING_DEMO.md's first full-pipeline run — the mel gradient
+    became a rounding error of the total), plus a large initial
+    transient while the predictor output climbs to O(200 Hz). With
+    stats, every loss component is O(1) from step one."""
+    batch = make_batch(0)
+    # deterministic per-phone f0 around 200 Hz
+    f0 = 150.0 + (np.asarray(batch["text"]) % 7) * 20.0
+    batch["f0"] = jnp.asarray(np.repeat(f0, 4, axis=1)
+                              .astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+
+    def run(hp, n=30):
+        model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+        step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+        logs = None
+        for _ in range(n):
+            state, logs = step_fn(state, batch, rng)
+        return ({k: float(v) for k, v in logs.items()})
+
+    std = run(tiny_hp(energy_pred=False, f0_mean=210.0, f0_std=45.0))
+    raw = run(tiny_hp(energy_pred=False))
+    # standardized: f0 term comparable to the mel terms
+    assert std["loss_f0"] < 2.0, std
+    assert std["loss_f0"] < 3 * std["loss_frame_after"], std
+    # raw: the f0 term IS the total, mel terms are noise beside it
+    assert raw["loss_f0"] > 10.0, raw
+    assert raw["loss_f0"] > 0.8 * raw["loss_total"], raw

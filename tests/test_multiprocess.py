@@ -58,7 +58,9 @@ def _launch_workers(port, outdir, steps=3, extra=()):
             stderr=subprocess.STDOUT, text=True), out))
     results = []
     for p, out in procs:
-        stdout, _ = p.communicate(timeout=420)
+        # generous: on a contended 1-core host the two children
+        # serialize and can blow well past their solo time
+        stdout, _ = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
         with open(out) as f:
             results.append(json.load(f))
@@ -162,7 +164,7 @@ def test_two_process_train_cli(tmp_path):
             stderr=subprocess.STDOUT, text=True), log))
     outs = []
     for pid, (p, log) in enumerate(procs):
-        p.communicate(timeout=420)
+        p.communicate(timeout=900)
         log.close()
         out = (tmp_path / f"proc{pid}.log").read_text()
         outs.append(out)

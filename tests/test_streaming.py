@@ -355,3 +355,56 @@ def test_streaming_vocoder_istft_equals_oneshot():
     got = np.concatenate([w for _, w in chunks], axis=1)
     np.testing.assert_allclose(got, full[:, :90 * gen.hop_length],
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_engine_with_istft_vocoder_oneshot_and_streaming(tmp_path):
+    """The engine serves the iSTFT family end-to-end: hp.vocoder_type
+    rides in the acoustic hparams snapshot, the orbax generator export
+    restores into the ConvNeXt param tree, one-shot results carry
+    T*hop audio, and streamed pcm equals the one-shot audio."""
+    from tests.test_vocoder import TINY, tiny_state
+    from transformer_tts_tpu.train import checkpoint as ckpt
+    from transformer_tts_tpu.train.trainer import init_fastspeech2_state
+    voc_fields = {k: v for k, v in TINY.items()
+                  if k.startswith("vocoder_")}
+    voc_fields.update(vocoder_type="istft", vocoder_istft_n_fft=16,
+                      vocoder_convnext_channels=16,
+                      vocoder_convnext_layers=2,
+                      vocoder_convnext_mlp=32)
+    cfg = dict(
+        architecture="text-mel", model="Fastspeech2", vocab_size=20,
+        mel_dim=MEL_DIM, d_model_encoder=16, d_model_decoder=16,
+        n_layer_encoder=1, n_layer_decoder=1, n_head_encoder=2,
+        n_head_decoder=2, batch_size=2, amp=False,
+        text_buckets=(8, 16), length_buckets=(32, 64), **voc_fields)
+    hp = HParams(**cfg)
+    _, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    bias = state.params["variance_adaptor"]["duration_predictor"][
+        "linear_layer"]["bias"]
+    state.params["variance_adaptor"]["duration_predictor"][
+        "linear_layer"]["bias"] = bias + np.log(5.0)
+    save_dir = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(save_dir, state, 1, with_optimizer=False)
+    with open(f"{save_dir}/hparams.py", "w") as fh:
+        fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
+    from transformer_tts_tpu.vocoder.generator import ISTFTVocoder
+    from transformer_tts_tpu.vocoder.trainer import export_generator
+    _, voc_state, gen, _ = tiny_state(**{
+        k: v for k, v in voc_fields.items()})
+    assert isinstance(gen, ISTFTVocoder)
+    voc_dir = export_generator(str(tmp_path / "voc"), voc_state)
+
+    from transformer_tts_tpu.infer.engine import TTSEngine
+    engine = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                       text_buckets=(8,), vocoder=voc_dir)
+    text = [1, 2, 3, 4, 5]
+    ref = engine.synthesize([text])[0]
+    assert ref["audio"].shape == (ref["mel"].shape[0] * gen.hop_length,)
+    assert ref["audio"].dtype == np.float32
+
+    events = list(engine.synthesize_streaming(text, chunk_frames=8))
+    assert events[-1]["type"] == "end"
+    pcm = np.concatenate([e["pcm"] for e in events
+                          if e["type"] == "audio"])
+    np.testing.assert_allclose(pcm, ref["audio"], atol=1e-5, rtol=1e-5)

@@ -80,6 +80,9 @@ def main(argv=None):
     sum_sq = np.zeros((args.n_mels,), np.float64)
     n_frames_total = 0
     lengths = []
+    # corpus pitch/energy statistics (for the opt-in standardized
+    # variance-predictor mode, config.py f0_mean/f0_std)
+    vsum = {"f0": 0.0, "f0_sq": 0.0, "energy": 0.0, "energy_sq": 0.0}
 
     with open(args.wav_script) as fh:
         lines = [ln.strip() for ln in fh if ln.strip()]
@@ -105,6 +108,10 @@ def main(argv=None):
         lines_out.append("|".join([mel_path] + fields[1:]))
         sum_mel += mel.sum(axis=0)
         sum_sq += (mel.astype(np.float64) ** 2).sum(axis=0)
+        vsum["f0"] += float(f0.sum())
+        vsum["f0_sq"] += float((f0.astype(np.float64) ** 2).sum())
+        vsum["energy"] += float(energy.sum())
+        vsum["energy_sq"] += float((energy.astype(np.float64) ** 2).sum())
         n_frames_total += n_frames
         lengths.append(n_frames)
         if (i + 1) % 100 == 0 or i + 1 == len(lines):
@@ -118,6 +125,19 @@ def main(argv=None):
             np.maximum(var, 1e-10).astype(np.float32))
     np.save(os.path.join(args.out_dir, "lengths.npy"),
             np.asarray(lengths, np.int32))
+    n = max(n_frames_total, 1)
+    stats = {}
+    for k in ("f0", "energy"):
+        m = vsum[k] / n
+        stats[f"{k}_mean"] = round(m, 4)
+        stats[f"{k}_std"] = round(
+            max(vsum[f"{k}_sq"] / n - m * m, 1e-10) ** 0.5, 4)
+    import json
+    with open(os.path.join(args.out_dir, "variance_stats.json"),
+              "w") as fh:
+        json.dump(stats, fh)
+    print("variance stats (set f0_mean/f0_std/energy_mean/energy_std "
+          f"in hparams for the standardized-predictor mode): {stats}")
     script_path = os.path.join(args.out_dir, args.script_name)
     with open(script_path, "w") as fh:
         fh.write("\n".join(lines_out) + "\n")

@@ -107,6 +107,19 @@ _DEFAULTS: Dict[str, Any] = {
     "f0_max": 795.8,
     "energy_min": 0.0,
     "energy_max": 315.0,
+    # beyond-parity opt-in: when all four stats are set, the pitch /
+    # energy PREDICTORS work in standardized units ((v - mean) / std,
+    # losses included) and are de-standardized before the bucketized
+    # embeddings. This balances the multi-task loss — the reference's
+    # raw-Hz f0 L1 otherwise dominates loss_total by the raw-scale
+    # factor (measured ~10:1, docs/LEARNING_DEMO.md) — and removes the
+    # initial transient while the predictor climbs to O(200 Hz).
+    # cli.prepare_data writes the corpus values to variance_stats.json.
+    # Default None = exact reference semantics.
+    "f0_mean": None,
+    "f0_std": None,
+    "energy_mean": None,
+    "energy_std": None,
     "nbins": 256,
     "log_offset": 1.0,
     "accent_emb": False,

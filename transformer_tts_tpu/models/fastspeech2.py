@@ -98,6 +98,10 @@ class FastSpeech2(nn.Module):
     log_offset: float = 1.0
     pitch_pred: bool = True
     energy_pred: bool = True
+    # optional (mean, std) predictor standardization — see
+    # VarianceAdaptor.f0_stats (config.py f0_mean/f0_std contract)
+    f0_stats: Optional[tuple] = None
+    energy_stats: Optional[tuple] = None
     use_pos: bool = False
     use_rnn_length: bool = False
     p_scheduled_sampling: float = 0.0
@@ -190,6 +194,7 @@ class FastSpeech2(nn.Module):
             energy_min=self.energy_min, energy_max=self.energy_max,
             log_offset=self.log_offset, pitch_pred=self.pitch_pred,
             energy_pred=self.energy_pred,
+            f0_stats=self.f0_stats, energy_stats=self.energy_stats,
             dropout=self.dropout_variance_adaptor, use_pos=self.use_pos,
             use_rnn_length=self.use_rnn_length, dtype=self.dtype,
             name="variance_adaptor")

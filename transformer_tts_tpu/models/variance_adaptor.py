@@ -82,7 +82,22 @@ class VarianceAdaptor(nn.Module):
     dropout: float = 0.5
     use_pos: bool = False
     use_rnn_length: bool = False
+    # optional (mean, std): the predictor then works in STANDARDIZED
+    # units (its raw output and the returned ``pitch``/``energy`` are
+    # (v - mean) / std; losses must standardize their targets the same
+    # way — losses.fastspeech2_loss does when given the stats) and is
+    # de-standardized here before the bucketized embedding lookup.
+    # None = exact reference semantics (raw-Hz / raw-energy L1).
+    f0_stats: Optional[tuple] = None
+    energy_stats: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def _destandardize(v, stats):
+        if stats is None:
+            return v
+        mean, std = stats
+        return v * std + mean
 
     @nn.compact
     def __call__(
@@ -135,6 +150,7 @@ class VarianceAdaptor(nn.Module):
                 name="pitch_predictor")(x, mel_mask, train=train)
             pitch_bins = jnp.exp(jnp.linspace(
                 jnp.log(self.f0_min), jnp.log(self.f0_max), self.n_bins - 1))
+            pitch_raw = self._destandardize(pitch, self.f0_stats)
             if pitch_target is not None:
                 src = pitch_target
                 if p_scheduled_sampling > 0.0 and train:
@@ -142,9 +158,9 @@ class VarianceAdaptor(nn.Module):
                     rng = self.make_rng("dropout")
                     swap = jax.random.uniform(
                         rng, (x.shape[0], 1)) < p_scheduled_sampling
-                    src = jnp.where(swap, pitch, pitch_target)
+                    src = jnp.where(swap, pitch_raw, pitch_target)
             else:
-                src = pitch * pitch_scale
+                src = pitch_raw * pitch_scale
             idx = jnp.searchsorted(pitch_bins, src)  # == torch.bucketize
             pitch_emb = nn.Embed(self.n_bins, self.d_model, dtype=self.dtype,
                                  name="pitch_embedding")(idx)
@@ -155,7 +171,8 @@ class VarianceAdaptor(nn.Module):
                 name="energy_predictor")(x, mel_mask, train=train)
             energy_bins = jnp.linspace(
                 self.energy_min, self.energy_max, self.n_bins - 1)
-            src = energy_target if energy_target is not None else energy
+            src = energy_target if energy_target is not None else \
+                self._destandardize(energy, self.energy_stats)
             idx = jnp.searchsorted(energy_bins, src)
             energy_emb = nn.Embed(self.n_bins, self.d_model,
                                   dtype=self.dtype,

@@ -145,6 +145,8 @@ def fastspeech2_loss(
     channel_wise: bool = False,
     channel_weight=None,
     output_type=None,
+    f0_stats=None,
+    energy_stats=None,
 ):
     """Total FastSpeech2 loss + component dict (train_fastspeech2.py:197-302).
 
@@ -157,11 +159,20 @@ def fastspeech2_loss(
     (B, T, 2) int targets (pad = ignore_index 320), with accuracy logs
     from the postnet logits; duration/f0/energy losses apply as usual
     (:244-260 adds them regardless of output mode).
+
+    ``f0_stats`` / ``energy_stats``: optional (mean, std). When set, the
+    predictor works in standardized units (VarianceAdaptor.f0_stats) and
+    the targets are standardized here before the L1 — the opt-in
+    loss-balance mode (config.py f0_mean/f0_std).
     """
     fmask = mel_mask[:, 0, :, None] if (masked and mel_mask is not None) \
         else None
     vmask = mel_mask[:, 0, :] if (masked and mel_mask is not None) else None
     smask = src_mask[:, 0, :] if (masked and src_mask is not None) else None
+    if f0 is not None and f0_stats is not None:
+        f0 = (f0 - f0_stats[0]) / f0_stats[1]
+    if energy is not None and energy_stats is not None:
+        energy = (energy - energy_stats[0]) / energy_stats[1]
 
     logs = {}
     if output_type == "softmax":

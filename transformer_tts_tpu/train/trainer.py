@@ -99,7 +99,10 @@ def build_fastspeech2(hp: HParams, *, train_dtype=None,
         n_bins=hp.nbins, f0_min=hp.f0_min, f0_max=hp.f0_max,
         energy_min=hp.energy_min, energy_max=hp.energy_max,
         log_offset=hp.log_offset, pitch_pred=hp.pitch_pred,
-        energy_pred=hp.energy_pred, use_pos=hp.use_pos,
+        energy_pred=hp.energy_pred,
+        f0_stats=_variance_stats(hp.f0_mean, hp.f0_std),
+        energy_stats=_variance_stats(hp.energy_mean, hp.energy_std),
+        use_pos=hp.use_pos,
         use_rnn_length=hp.use_rnn_length,
         p_scheduled_sampling=hp.p_scheduled_sampling,
         accent_emb=hp.accent_emb,
@@ -158,6 +161,14 @@ def init_fastspeech2_state(
     return model, state
 
 
+def _variance_stats(mean, std):
+    """(mean, std) tuple when both set, else None (reference raw units).
+    See config.py f0_mean/f0_std — the opt-in standardized-predictor
+    mode."""
+    return (float(mean), float(std)) \
+        if (mean is not None and std is not None) else None
+
+
 def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
                                 *, donate: bool = True):
     """Build the jitted FS2 train step.
@@ -206,7 +217,10 @@ def make_fastspeech2_train_step(model: FastSpeech2, hp: HParams,
                 use_sq_vae=hp.use_sq_vae, log_offset=hp.log_offset,
                 channel_wise=hp.channel_wise,
                 channel_weight=hp.channel_weight,
-                output_type=hp.output_type)
+                output_type=hp.output_type,
+                f0_stats=_variance_stats(hp.f0_mean, hp.f0_std),
+                energy_stats=_variance_stats(hp.energy_mean,
+                                             hp.energy_std))
             if hp.CTC_training:
                 # mid-decoder tap CTC'd against the text ids, weight 0.2,
                 # blank 0 (train_Fastspeech2.py:168,220-224); input
@@ -251,7 +265,9 @@ def make_fastspeech2_eval_step(model: FastSpeech2, hp: HParams):
         total, logs = L.fastspeech2_loss(
             out, batch["mel"], batch["alignment"], batch.get("f0"),
             batch.get("energy"), src_mask=src_mask, mel_mask=mel_mask,
-            masked=False, log_offset=hp.log_offset)
+            masked=False, log_offset=hp.log_offset,
+            f0_stats=_variance_stats(hp.f0_mean, hp.f0_std),
+            energy_stats=_variance_stats(hp.energy_mean, hp.energy_std))
         return out, logs
 
     return jax.jit(eval_fn)
