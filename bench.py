@@ -191,6 +191,21 @@ def main():
     engine_s = float(np.median(eng_times))
     serve_audio_s_per_s = (bs * audio_seconds) / engine_s
 
+    # same engine, weight-only int8 (infer/quantize.py): weights stream
+    # from HBM as int8 + per-channel scale, dequant fused in-jit — the
+    # win is HBM bandwidth on the weight-bound serving signatures
+    engine_q = TTSEngine(eng_dir, batch_size=bs, frames_per_phone=t // l,
+                         text_buckets=(l,), quantize="int8")
+    engine_q.warmup()
+    engine_q.synthesize(texts16)
+    engq_times = []
+    for _ in range(9):
+        t0 = _time.perf_counter()
+        engine_q.synthesize(texts16)
+        engq_times.append(_time.perf_counter() - t0)
+    engine_q_s = float(np.median(engq_times))
+    serve_int8_audio_s_per_s = (bs * audio_seconds) / engine_q_s
+
     # ---------------- neural vocoder throughput ----------------
     # untrained V1-size generator (weights don't change the math):
     # batch-8 x 256 mel frames -> 8 x 2.97 s of 22.05 kHz audio per call
@@ -352,6 +367,7 @@ def main():
         "single_shot_ms": round(single_s * 1000, 3),
         "rtf_marginal": round(rtf_marginal, 6),
         "serve_audio_s_per_s": round(serve_audio_s_per_s, 1),
+        "serve_int8_audio_s_per_s": round(serve_int8_audio_s_per_s, 1),
         "serve_engine_ms_per_batch16": round(engine_s * 1000, 1),
         "serve_fwd_marginal_audio_s_per_s": round(serve_fwd_marginal, 1),
         "vocoder_audio_s_per_s": round(vocoder_audio_s_per_s, 1),

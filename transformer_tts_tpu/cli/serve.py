@@ -44,6 +44,11 @@ def main(argv=None):
                         help="neural-vocoder checkpoint (generator "
                              "export from cli.train_vocoder); wav "
                              "responses use it instead of Griffin-Lim")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=("int8",),
+                        help="weight-only quantization of the acoustic "
+                             "model: weights stream from HBM as int8 + "
+                             "per-channel scale (infer/quantize.py)")
     args = parser.parse_args(argv)
 
     from transformer_tts_tpu.infer.engine import TTSEngine
@@ -54,7 +59,13 @@ def main(argv=None):
     engine = TTSEngine(
         args.load_name, args.hp_file, epoch=args.epoch,
         batch_size=args.batch_size, frames_per_phone=args.frames_per_phone,
-        text_buckets=buckets, vocoder=args.vocoder)
+        text_buckets=buckets, vocoder=args.vocoder,
+        quantize=args.quantize)
+    if engine.quantize_stats is not None:
+        s = engine.quantize_stats
+        print(f"int8 weights: {s['n_quantized']} tensors quantized, "
+              f"{s['bytes_fp'] / 1e6:.1f} MB -> {s['bytes_q'] / 1e6:.1f} MB "
+              f"({s['compression']:.2f}x)", flush=True)
 
     if args.export:
         manifest = engine.export(args.export)

@@ -36,7 +36,8 @@ class TTSEngine:
                  epoch: Optional[int] = None, batch_size: int = 8,
                  frames_per_phone: int = 8,
                  text_buckets: Optional[Sequence[int]] = None,
-                 vocoder: Optional[str] = None):
+                 vocoder: Optional[str] = None,
+                 quantize: Optional[str] = None):
         import jax
         import jax.numpy as jnp
         from transformer_tts_tpu.config import is_nar_model, load_hparams
@@ -80,6 +81,22 @@ class TTSEngine:
         # the trained ones, not init — see checkpoint.restore_variables
         self.variables = ckpt.restore_variables(load_dir, state,
                                                 epoch=epoch)
+        # weight-only int8: weights live in HBM as int8 + per-channel
+        # scale and expand inside jit (infer/quantize.py) — every
+        # synthesis/streaming/export signature is quantization-
+        # transparent, so nothing else here changes
+        self.quantize = quantize
+        self.quantize_stats = None
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(
+                    f"quantize={quantize!r} unsupported (only 'int8')")
+            from transformer_tts_tpu.infer.quantize import (
+                quantization_stats, quantize_variables)
+            qvars = quantize_variables(self.variables)
+            self.quantize_stats = quantization_stats(
+                self.variables["params"], qvars["params"])
+            self.variables = qvars
         mean, var = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim).arrays()
         self._mean = jnp.asarray(mean) if mean is not None else None
         self._var = jnp.asarray(var) if var is not None else None

@@ -1,0 +1,167 @@
+"""Weight-only int8 quantization for the serving path.
+
+Beyond-reference capability (the reference serves fp32 torch modules;
+its synthesis scripts are test_fastspeech2.py:146-204). Weights are
+stored as int8 + a per-output-channel fp32 scale: 4x fewer weight
+bytes in HBM than fp32, ~4x smaller ``jax.export`` artifacts (measured
+3.5x with the scales and fp passthroughs), and proportionally faster
+checkpoint restore/upload over the host link. Measured on the v5e
+chip at the parity model size (~35M params), end-to-end serving
+latency is UNCHANGED (951 vs 952 audio-s/s, bench.py
+``serve_int8_audio_s_per_s``): weight streaming there is ~0.2 ms/call
+against a sync+transfer-dominated ~150 ms batch, so the honest claim
+is footprint, not speed — the latency lever would only engage at
+weight sizes where streaming is a visible slice of step time.
+
+Design (tpu-first):
+
+* **Symmetric per-output-channel** quantization: for each eligible
+  kernel ``w`` (float, ndim >= 2, size >= ``min_size``) the scale is
+  ``max|w|`` over all axes but the last, divided by 127. The last axis
+  is the output-feature axis for every flax Dense/Conv kernel
+  ((in, out), (k, in, out), (k1, k2, in, out)), so one scale per
+  output channel — the standard weight-only recipe.
+* **Dequantize INSIDE jit**: the quantized tree is passed as a traced
+  argument and expanded with ``q.astype(f32) * s`` at the top of the
+  jitted synthesis function. XLA keeps the int8 tensor in HBM and
+  fuses the convert+scale into the consumer's operand load — the fp
+  weight never round-trips to HBM.
+* The quantized tree is a plain pytree (each quantized leaf becomes a
+  ``{"q": int8, "s": f32}`` subtree), so it flows through ``jax.jit``,
+  ``jax.export`` (artifacts shrink ~4x: int8 constants are baked), and
+  checkpointing unchanged.
+
+Small leaves (LayerNorm/bias vectors, tiny embeddings) stay fp: they
+are a rounding error in bytes and disproportionately precision-
+sensitive. BatchNorm running stats (``batch_stats`` collection) are
+never quantized.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+# a quantized leaf is a dict with exactly these keys where q is int8 —
+# no real flax param subtree has this shape (params are arrays, and
+# module scopes carry layer names)
+_QKEYS = frozenset(("q", "s"))
+
+
+def _is_qleaf(node: Any) -> bool:
+    return (isinstance(node, dict) and frozenset(node) == _QKEYS
+            and hasattr(node["q"], "dtype")
+            and node["q"].dtype == jnp.int8)
+
+
+def quantize_tree(params: Dict[str, Any], *, min_size: int = 4096) -> Dict:
+    """Quantize eligible float leaves of a param dict to int8.
+
+    Returns a same-structure dict where each eligible leaf is replaced
+    by ``{"q": int8 (leaf.shape), "s": f32 ((1,)*(ndim-1) + (out,))}``.
+    Ineligible leaves (non-float, ndim < 2, or size < ``min_size``)
+    pass through untouched.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        arr = jnp.asarray(node)
+        if (not jnp.issubdtype(arr.dtype, jnp.floating)
+                or arr.ndim < 2 or arr.size < min_size):
+            return node
+        w = arr.astype(jnp.float32)
+        reduce_axes = tuple(range(arr.ndim - 1))
+        amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": scale.astype(jnp.float32)}
+    return walk(params)
+
+
+def dequantize_tree(qparams: Dict[str, Any],
+                    dtype: jnp.dtype = jnp.float32) -> Dict:
+    """Expand a quantized tree back to float arrays.
+
+    Meant to run INSIDE jit: the int8 tensor stays in HBM and XLA
+    fuses the convert+scale into the consuming matmul/conv.
+    """
+    def walk(node):
+        if _is_qleaf(node):
+            return (node["q"].astype(jnp.float32) * node["s"]).astype(dtype)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+    return walk(qparams)
+
+
+def quantize_variables(variables: Dict[str, Any], *,
+                       min_size: int = 4096) -> Dict:
+    """Quantize the ``params`` collection; other collections
+    (``batch_stats`` etc.) pass through untouched."""
+    out = dict(variables)
+    out["params"] = quantize_tree(variables["params"], min_size=min_size)
+    return out
+
+
+def dequantize_variables(qvariables: Dict[str, Any],
+                         dtype: jnp.dtype = jnp.float32) -> Dict:
+    out = dict(qvariables)
+    out["params"] = dequantize_tree(qvariables["params"], dtype)
+    return out
+
+
+def quantization_stats(params: Dict[str, Any], qparams: Dict) -> Dict:
+    """Bytes/leaf accounting for logging: how much HBM the weights now
+    stream. fp bytes counts the original leaf dtype; int8 bytes counts
+    q + s."""
+    stats = {"n_quantized": 0, "n_passthrough": 0,
+             "bytes_fp": 0, "bytes_q": 0}
+
+    def walk(orig, q):
+        if _is_qleaf(q):
+            stats["n_quantized"] += 1
+            stats["bytes_fp"] += orig.size * orig.dtype.itemsize
+            stats["bytes_q"] += q["q"].size + q["s"].size * 4
+        elif isinstance(q, dict):
+            for k in q:
+                walk(orig[k], q[k])
+        else:
+            stats["n_passthrough"] += 1
+            b = np.asarray(orig).size * np.asarray(orig).dtype.itemsize
+            stats["bytes_fp"] += b
+            stats["bytes_q"] += b
+    walk(params, qparams)
+    stats["compression"] = (stats["bytes_fp"] / stats["bytes_q"]
+                            if stats["bytes_q"] else 1.0)
+    return stats
+
+
+# ---------------- trace-time transparency ----------------
+
+def has_quantized_leaves(tree: Any) -> bool:
+    def walk(node):
+        if _is_qleaf(node):
+            return True
+        if isinstance(node, dict):
+            return any(walk(v) for v in node.values())
+        return False
+    return walk(tree)
+
+
+def maybe_dequantize_variables(variables: Dict[str, Any],
+                               dtype: jnp.dtype = jnp.float32) -> Dict:
+    """Identity for fp trees; in-jit expansion for quantized ones.
+
+    Called at the top of every jitted synthesis entry point, making
+    the whole inference surface quantization-transparent: a caller may
+    pass either the restored fp variables or ``quantize_variables``
+    output. Detection is structural and happens at trace time — fp
+    trees pay nothing.
+    """
+    if not isinstance(variables, dict) or "params" not in variables:
+        return variables
+    if not has_quantized_leaves(variables["params"]):
+        return variables
+    return dequantize_variables(variables, dtype)

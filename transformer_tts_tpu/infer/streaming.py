@@ -62,6 +62,8 @@ def vocode_pinned(gen, variables, mel):
     window-vs-full-buffer shapes then round differently (~1e-3 measured
     on chip). bf16-dtype generators are unaffected (inputs already bf16).
     """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     with jax.default_matmul_precision("float32"):
         return gen.apply(variables, mel)
 
@@ -244,6 +246,8 @@ class VocoderSession:
 @functools.partial(jax.jit, static_argnames=("model",))
 def _encode_ar(model: TransformerTTS, variables, text, pos_text,
                spk_emb=None, ref_mel=None):
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     src_mask = pad_mask(pos_text)
     e_outputs, _ = model.apply(
         variables, text, src_mask, spk_emb, ref_mel, train=False,
@@ -259,6 +263,8 @@ def _decode_segment(model: TransformerTTS, variables, e_outputs, src_mask,
                     spk_emb, cross_kvs, carry, *, segment_steps: int,
                     stop_threshold: float):
     """Run the decode while_loop for at most ``segment_steps`` steps."""
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     max_steps = carry["groups"].shape[1]
     limit = jnp.minimum(carry["step"] + segment_steps, max_steps)
     body = _ar_body(model, variables, e_outputs, src_mask, spk_emb,
@@ -281,6 +287,8 @@ def _postnet_window(model: TransformerTTS, variables, groups, end, length,
     the caller emits; the postnet is causal so both reproduce the
     one-shot ``apply_postnet`` values (synthesize.py).
     """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     max_steps = groups.shape[1]
     r = model.reduction_rate
     start = jnp.clip(end - window, 0, max_steps - window)

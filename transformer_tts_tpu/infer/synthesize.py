@@ -68,6 +68,8 @@ def synthesize_fastspeech2(
     use_prenet: bool = False,
 ):
     """One NAR forward; returns (mel (B,T,mel), mel_len (B,), durations)."""
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     src_mask = pad_mask(pos_text)
     out = model.apply(
         variables, text, src_mask, max_frames, accent=accent,
@@ -108,6 +110,8 @@ def synthesize_integrate(
     (refined (B,T,mel), prenet (B,T,mel), mel_len (B,), durations) — the
     reference saves the prenet output alongside (:206-210).
     """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     src_mask = pad_mask(pos_text)
     out = model.apply(variables, text, src_mask, max_frames,
                       accent=accent, spk_emb=spk_emb,
@@ -206,6 +210,8 @@ def synthesize_transformer_tts(
     Returns (mel (B, max_steps*r, mel), lengths (B,) in frames).
     Positions beyond a sample's length are zero.
     """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     _ar_check(model)
     b = text.shape[0]
     r = model.reduction_rate
@@ -262,6 +268,8 @@ def synthesize_tacotron2(
     Returns (mel (B, max_steps*r, mel) fp32, lengths (B,) frames);
     positions beyond a sample's length are zero.
     """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
     src_mask = pad_mask(pos_text)
     text_lengths = src_mask[:, 0, :].sum(-1).astype(jnp.int32)
     mel, lengths = model.apply(
