@@ -93,6 +93,43 @@ def test_fastspeech2_train_step_decreases_loss():
     assert last < 0.6 * first, (first, last)
 
 
+def test_reference_init_changes_trajectory():
+    """hp.reference_init (default True) applies the reference's
+    init_weight scheme (utils/utils.py:153-177, applied at train.py:103)
+    in every init path: same seed, init on vs off -> different conv
+    kernels AND a different first-step loss trajectory."""
+    rng = jax.random.PRNGKey(0)
+    _, state_on = init_fastspeech2_state(tiny_hp(), rng)
+    model_off, state_off = init_fastspeech2_state(
+        tiny_hp(reference_init=False), rng)
+    # find a conv kernel leaf (ndim >= 3) and compare
+    on_leaves = {jax.tree_util.keystr(p): l for p, l in
+                 jax.tree_util.tree_flatten_with_path(state_on.params)[0]}
+    off_leaves = {jax.tree_util.keystr(p): l for p, l in
+                  jax.tree_util.tree_flatten_with_path(state_off.params)[0]}
+    conv_keys = [k for k, l in on_leaves.items()
+                 if k.endswith("['kernel']") and l.ndim >= 3]
+    assert conv_keys
+    assert any(not np.allclose(np.asarray(on_leaves[k]),
+                               np.asarray(off_leaves[k]))
+               for k in conv_keys)
+    # dense kernels are untouched by the scheme (the reference's Linear
+    # branch never fires — see apply_reference_init docstring)
+    dense_keys = [k for k, l in on_leaves.items()
+                  if k.endswith("['kernel']") and l.ndim == 2]
+    assert dense_keys
+    for k in dense_keys:
+        np.testing.assert_array_equal(np.asarray(on_leaves[k]),
+                                      np.asarray(off_leaves[k]))
+    # trajectories diverge from step 1
+    batch = make_batch(0)
+    step_on = make_fastspeech2_train_step(model_off, tiny_hp(),
+                                          donate=False)
+    _, logs_on = step_on(state_on, batch, jax.random.PRNGKey(1))
+    _, logs_off = step_on(state_off, batch, jax.random.PRNGKey(1))
+    assert float(logs_on["loss_total"]) != float(logs_off["loss_total"])
+
+
 def test_postnet_causal_at_eval():
     """Left-padded convs: output at t must not depend on frames > t."""
     model = PostConvNet(num_hidden=32, mel_dim=8, reduction_rate=1,

@@ -67,6 +67,13 @@ _DEFAULTS: Dict[str, Any] = {
     "clip": 1.0,
     "accum_grad": 1,
     "seed": 77,
+    # Apply the reference's init_weight scheme (utils/utils.py:153-177,
+    # applied by every reference driver, e.g. train.py:103,
+    # train_fastspeech2.py:399): Kaiming-normal conv kernels with zero
+    # bias. Default True for training-dynamics parity; False keeps flax
+    # defaults (lecun_normal kernels, zero bias), a documented deviation
+    # (PARITY.md §Deliberate deviations).
+    "reference_init": True,
     # dropout-mask PRNG. 'rbg' halves the measured train-step cost vs
     # JAX's default threefry (attention-prob dropout masks dominate the
     # step: 84 of 154 ms at 32x1024 frames — scripts/profile_train.py);

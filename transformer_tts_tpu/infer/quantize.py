@@ -15,17 +15,27 @@ weight sizes where streaming is a visible slice of step time.
 
 Design (tpu-first):
 
-* **Symmetric per-output-channel** quantization: for each eligible
+* **Symmetric per-last-axis** quantization: for each eligible
   kernel ``w`` (float, ndim >= 2, size >= ``min_size``) the scale is
   ``max|w|`` over all axes but the last, divided by 127. The last axis
   is the output-feature axis for every flax Dense/Conv kernel
   ((in, out), (k, in, out), (k1, k2, in, out)), so one scale per
-  output channel — the standard weight-only recipe.
+  output channel — the standard weight-only recipe. (For a
+  hypothetical multi-out-axis DenseGeneral kernel, e.g.
+  (d_model, heads, head_dim), the per-last-axis scale is shared
+  across heads — coarser than true per-output-channel; this package's
+  models only use single-out-axis kernels, where the two coincide.)
 * **Dequantize INSIDE jit**: the quantized tree is passed as a traced
   argument and expanded with ``q.astype(f32) * s`` at the top of the
-  jitted synthesis function. XLA keeps the int8 tensor in HBM and
-  fuses the convert+scale into the consumer's operand load — the fp
-  weight never round-trips to HBM.
+  jitted synthesis function. For the one-shot NAR path XLA keeps the
+  int8 tensor in HBM and fuses the convert+scale into the consumer's
+  operand load. For the AR/streaming decode paths the dequantized fp
+  copy is materialized ONCE above the ``lax.while_loop`` (a deliberate
+  latency tradeoff — dequantizing per decode step would re-stream the
+  weights every iteration), so during decode both the int8 and fp
+  copies live in HBM (~1.25x the fp footprint transiently); the
+  footprint wins there are the export artifact and restore/upload,
+  not peak decode HBM.
 * The quantized tree is a plain pytree (each quantized leaf becomes a
   ``{"q": int8, "s": f32}`` subtree), so it flows through ``jax.jit``,
   ``jax.export`` (artifacts shrink ~4x: int8 constants are baked), and
@@ -42,7 +52,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 # a quantized leaf is a dict with exactly these keys where q is int8 —
 # no real flax param subtree has this shape (params are arrays, and
@@ -129,7 +138,9 @@ def quantization_stats(params: Dict[str, Any], qparams: Dict) -> Dict:
                 walk(orig[k], q[k])
         else:
             stats["n_passthrough"] += 1
-            b = np.asarray(orig).size * np.asarray(orig).dtype.itemsize
+            # size/itemsize are metadata on jax arrays — no
+            # device-to-host copy (unlike np.asarray)
+            b = orig.size * orig.dtype.itemsize
             stats["bytes_fp"] += b
             stats["bytes_q"] += b
     walk(params, qparams)

@@ -34,7 +34,8 @@ from transformer_tts_tpu.models.postnets import (
 from transformer_tts_tpu.ops.masks import create_masks
 from transformer_tts_tpu.train import losses as L
 from transformer_tts_tpu.train.schedule import build_optimizer
-from transformer_tts_tpu.train.trainer import TrainState
+from transformer_tts_tpu.train.trainer import (
+    TrainState, _maybe_reference_init)
 
 
 def build_post_model(hp: HParams):
@@ -84,7 +85,7 @@ def init_post_state(hp: HParams, rng, teacher_model: FastSpeech2,
     tx = build_optimizer(
         hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
         hp.learning_rate, hp.clip, hp.accum_grad)
-    params = variables["params"]
+    params = _maybe_reference_init(hp, variables["params"], rng)
     return student, TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=tx.init(params),

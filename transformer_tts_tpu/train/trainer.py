@@ -32,7 +32,8 @@ from transformer_tts_tpu.models.transformer_tts import (
     TransformerTTS, build_transformer_tts)
 from transformer_tts_tpu.ops.masks import create_masks
 from transformer_tts_tpu.train import losses as L
-from transformer_tts_tpu.train.schedule import build_optimizer
+from transformer_tts_tpu.train.schedule import (
+    apply_reference_init, build_optimizer)
 
 
 class TrainState(struct.PyTreeNode):
@@ -152,13 +153,26 @@ def init_fastspeech2_state(
     tx = build_optimizer(
         hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
         hp.learning_rate, hp.clip, hp.accum_grad)
-    params = variables["params"]
+    params = _maybe_reference_init(hp, variables["params"], rng)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=tx.init(params),
         batch_stats=variables.get("batch_stats", {}),
         vq_stats=variables.get("vq_stats", {}), tx=tx)
     return model, state
+
+
+def _maybe_reference_init(hp: HParams, params, rng):
+    """Apply the reference's init_weight scheme when hp.reference_init.
+
+    Every reference driver calls ``model.apply(init_weight)`` after
+    construction (train.py:103, train_fastspeech2.py:399,
+    train_fastspeech2_dev.py:~110); this is the jax-side equivalent,
+    applied in every init path so training dynamics match by default.
+    """
+    if getattr(hp, "reference_init", True):
+        return apply_reference_init(params, jax.random.fold_in(rng, 0x17))
+    return params
 
 
 def _variance_stats(mean, std):
@@ -306,7 +320,7 @@ def init_transformer_state(hp: HParams, rng: jax.Array, *,
     tx = build_optimizer(
         hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
         hp.learning_rate, hp.clip, hp.accum_grad)
-    params = variables["params"]
+    params = _maybe_reference_init(hp, variables["params"], rng)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=tx.init(params),
@@ -426,7 +440,7 @@ def init_sq_fastspeech2_state(hp: HParams, rng: jax.Array, *,
     tx = build_optimizer(
         hp.optimizer, hp.d_model_decoder, hp.warmup_factor, hp.warmup_step,
         hp.learning_rate, hp.clip, hp.accum_grad)
-    params = variables["params"]
+    params = _maybe_reference_init(hp, variables["params"], rng)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=tx.init(params),
