@@ -11,11 +11,14 @@ the ENTIRE stack in-framework through the real CLIs, end to end:
    corpus statistics, lengths cache,
 3. durations: by construction (``--durations known``, default) or the
    canonical FastSpeech recipe (``--durations teacher``: train the AR
-   Transformer-TTS teacher with ``cli/train``, then
-   ``cli/extract_durations`` from its cross-attention),
-4. ``cli/train``: FastSpeech2 on the extracted features (duration-only
-   variance adaptor — see the note in ``write_acoustic_hparams``),
-   then ``cli/average_checkpoints`` (README.md:22-23 workflow),
+   Transformer-TTS teacher with ``cli/train``, evaluate it — free-running
+   stop-token synthesis length accuracy, mel-L1, alignment
+   focus/monotonicity — then ``cli/extract_durations`` from its
+   cross-attention),
+4. ``cli/train``: FastSpeech2 on the extracted features (pitch+energy
+   predictors ON in the standardized-units mode by default —
+   ``--no-variance`` for the duration-only adaptor), then
+   ``cli/average_checkpoints`` (README.md:22-23 workflow),
 5. ``cli/train_vocoder``: a GAN vocoder on the same WAVs (default the
    iSTFT/Vocos family — ``--vocoder-family hifigan`` for time-domain
    upsampling),
@@ -64,7 +67,8 @@ MEL_CFG = dict(sample_rate=SR, n_fft=N_FFT, hop_length=HOP,
 
 
 def phone_wave(p: int, n_frames: int) -> np.ndarray:
-    """Deterministic BROADBAND harmonic tone for phone id p.
+    """Deterministic BROADBAND harmonic tone for phone id p, WITH
+    intra-phone temporal structure.
 
     12 harmonics with phone-specific amplitudes span up to ~3.6 kHz so
     phone identity shows in (almost) every mel bin. A first version
@@ -73,21 +77,52 @@ def phone_wave(p: int, n_frames: int) -> np.ndarray:
     the acoustic model converged to a position-only (text-ignoring)
     optimum — measured: output mel delta between two disjoint phone
     sequences 7e-4 after 3.6k steps.
+
+    Two phone-specific TIME-VARYING components (round 4) make frame t a
+    function of position-within-phone, not just of phone identity:
+
+    * an exponential f0 GLIDE of g_p in [-5, +5]\\{0} semitones across
+      the phone (every harmonic sweeps across mel bins), and
+    * a triangular amplitude ENVELOPE (0.35 -> 1.0 -> 0.35, ~9 dB)
+      whose peak position is phone-specific.
+
+    A steady tone admits a copy shortcut for teacher-forced AR
+    training: away from phone boundaries the next frame EQUALS the
+    current one, so cross-attention never needs to localize (round 3's
+    measured negative result — docs/LEARNING_DEMO.md). With glides and
+    envelopes, predicting frame t requires position-within-phone, which
+    the AR decoder can only recover by tracking text progression — the
+    property of real speech (coarticulation, prosody) that makes the
+    canonical FastSpeech duration bootstrap work.
     """
-    f0 = 110.0 * 2.0 ** (p / 16.0)               # 110..297 Hz
+    f0 = 110.0 * 2.0 ** (p / 16.0)               # 110..297 Hz at onset
+    glide = (p * 5) % 11 - 5                     # -5..+5 semitones
+    if glide == 0:
+        glide = 3
+    ratio = 2.0 ** (glide / 12.0)
     n = n_frames * HOP
     t = np.arange(n) / SR
+    dur = n / SR
+    # exponential chirp: f(t) = f0 * ratio**(t/dur);
+    # phase(t) = 2*pi * f0 * dur * (ratio**(t/dur) - 1) / ln(ratio)
+    phase = (2 * np.pi * f0 * dur
+             * (ratio ** (t / dur) - 1.0) / np.log(ratio))
     x = np.zeros(n)
+    f_max = f0 * max(ratio, 1.0)
     for k in range(1, 13):
-        if k * f0 >= SR / 2 * 0.95:
+        if k * f_max >= SR / 2 * 0.95:
             break
         a = (((p * k * 7) % 9) + 1) / 9.0 * 0.8 ** (k - 1)
-        x += a * np.sin(2 * np.pi * k * f0 * t)
+        x += a * np.sin(k * phase)
     x *= 0.5 / max(np.abs(x).max(), 1e-6)
+    # triangular amplitude envelope, phone-specific peak position
+    peak = (0.2 + 0.6 * ((p * 3) % 7) / 6.0) * dur
+    env = np.where(t <= peak,
+                   0.35 + 0.65 * t / max(peak, 1e-6),
+                   1.0 - 0.65 * (t - peak) / max(dur - peak, 1e-6))
     ramp = min(40, n // 4)                        # 5 ms edge fades
-    env = np.ones(n)
-    env[:ramp] = np.linspace(0, 1, ramp)
-    env[-ramp:] = np.linspace(1, 0, ramp)
+    env[:ramp] *= np.linspace(0, 1, ramp)
+    env[-ramp:] *= np.linspace(1, 0, ramp)
     return (x * env).astype(np.float32)
 
 
@@ -136,13 +171,13 @@ def write_acoustic_hparams(workdir: str, feat_dir: str, save_dir: str,
         ff_conv_kernel_size_encoder=5, ff_conv_kernel_size_decoder=1,
         batch_size=16, max_epoch=max_epoch, save_per_epoch=max_epoch,
         warmup_step=100, warmup_factor=1.0, amp=True,
-        # duration-only variance adaptor for the DEMO: the reference's
-        # raw-Hz f0 L1 dominates loss_total ~10:1 (measured, see
-        # docs/LEARNING_DEMO.md design notes) and an unconverged
-        # predictor poisons the decoder through the pitch embeddings at
-        # inference. The full pitch/energy path is exercised by unit
-        # and CLI e2e tests; the opt-in standardized mode
-        # (f0_mean/f0_std, variance_stats.json) addresses the balance.
+        # pitch/energy prediction defaults ON (round 4), in the
+        # STANDARDIZED mode: main() overrides these with the corpus
+        # f0_mean/f0_std/energy_mean/energy_std from prepare_data's
+        # variance_stats.json, which keeps every loss component O(1)
+        # (the reference's raw-Hz f0 L1 otherwise dominates loss_total
+        # ~10:1 — measured, docs/LEARNING_DEMO.md). `--no-variance`
+        # restores the round-3 duration-only adaptor.
         pitch_pred=False, energy_pred=False,
         f0_min=71.0, f0_max=500.0,
         dropout_variance_adaptor=0.1,
@@ -275,10 +310,28 @@ def copy_synthesis_score(voc_dir: str, cfg: dict, feat_dir: str,
     return {"copy_synthesis_mel_l1": float(np.mean(l1s)), "n": n_test}
 
 
-def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra):
+def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra,
+                      ar_epochs: int = 400):
     """--durations teacher: AR teacher + cross-attention extraction
-    (the canonical FastSpeech recipe; cli/extract_durations.py)."""
+    (the canonical FastSpeech recipe; cli/extract_durations.py).
+
+    Returns the AR teacher's own evaluation — the reference's first
+    model family demonstrated end to end (train.py:156-267 training,
+    test.py:142-184 stop-token synthesis):
+
+    * ``ar_train_loss_first/last``: post-mel L1 collapse over training
+      (from the trainer's JSONL curve),
+    * ``ar_mel_l1``: free-running (NON-teacher-forced) stop-token
+      synthesis on the test set vs ground-truth mels,
+    * ``ar_len_err_*``: relative error of the stop-rule termination
+      length vs ground truth (test.py:178-184 semantics),
+    * ``ar_focus/monotonicity/coverage``: alignment quality of the
+      duration-extraction cross-attention head
+      (cli/extract_durations.attention_quality).
+    """
+    import json as _json
     from transformer_tts_tpu.cli import extract_durations as cli_ext
+    from transformer_tts_tpu.cli import synthesize as cli_synth
     from transformer_tts_tpu.cli import train as cli_train
     ar_dir = os.path.join(workdir, "ckpt_ar")
     cfg = dict(
@@ -288,7 +341,7 @@ def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra):
         n_layer_encoder=6, n_layer_decoder=6,
         n_head_encoder=4, n_head_decoder=4,
         ff_conv_kernel_size_encoder=5, ff_conv_kernel_size_decoder=1,
-        batch_size=16, max_epoch=400, save_per_epoch=400,
+        batch_size=16, max_epoch=ar_epochs, save_per_epoch=ar_epochs,
         warmup_step=1000, warmup_factor=1.0, amp=True,
         positive_weight=5.0,
         train_script=os.path.join(feat_dir, "train.txt"),
@@ -304,8 +357,37 @@ def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra):
     with open(hp_path, "w") as fh:
         fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
     cli_train.main(["--hp_file", hp_path])
+    stats_file = os.path.join(workdir, "duration_stats.json")
     cli_ext.main(["--load_name", ar_dir,       # latest epoch auto-resolved
-                  "--script", os.path.join(feat_dir, "train.txt")])
+                  "--script", os.path.join(feat_dir, "train.txt"),
+                  "--stats_file", stats_file])
+
+    # free-running AR synthesis with the stop rule (test.py:158-184)
+    ar_gen = os.path.join(workdir, "gen_ar")
+    cli_synth.main(["--load_name", ar_dir, "--save", ar_gen,
+                    "--batch_size", "8"])
+    ar_mel = mel_scores(ar_gen, feat_dir)
+    len_errs = []
+    for idx in range(8):
+        ref_n = np.load(os.path.join(feat_dir, f"utt{idx}.npy")).shape[0]
+        gen_n = np.load(os.path.join(ar_gen, f"{idx}.npy")).shape[0]
+        len_errs.append(abs(gen_n / ref_n - 1.0))
+    with open(os.path.join(ar_dir, "logs", "train.jsonl")) as fh:
+        recs = [_json.loads(ln) for ln in fh if ln.strip()]
+    first = float(np.mean([r["loss_frame_after"] for r in recs[:5]]))
+    last = float(np.mean([r["loss_frame_after"] for r in recs[-5:]]))
+    with open(stats_file) as fh:
+        align = _json.load(fh)
+    return {
+        "ar_train_loss_first": round(first, 4),
+        "ar_train_loss_last": round(last, 4),
+        "ar_mel_l1": round(ar_mel["mel_l1"], 4),
+        "ar_len_err_mean": round(float(np.mean(len_errs)), 4),
+        "ar_len_err_max": round(float(np.max(len_errs)), 4),
+        "ar_focus": round(align["focus"], 4),
+        "ar_monotonicity": round(align["monotonicity"], 4),
+        "ar_coverage": round(align["coverage"], 4),
+    }
 
 
 def main(argv=None):
@@ -315,8 +397,15 @@ def main(argv=None):
     ap.add_argument("--voc_steps", type=int, default=2000)
     ap.add_argument("--durations", choices=("known", "teacher"),
                     default="known")
+    ap.add_argument("--ar_epochs", type=int, default=400,
+                    help="AR teacher epochs for --durations teacher")
     ap.add_argument("--vocoder-family", choices=("istft", "hifigan"),
                     default="istft", dest="vocoder_family")
+    ap.add_argument("--no-variance", action="store_true",
+                    dest="no_variance",
+                    help="duration-only variance adaptor (the round-3 "
+                         "demo mode); default trains pitch+energy "
+                         "predictors in the standardized mode")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-budget variant (d_model 64, 2+2 layers, "
@@ -349,8 +438,15 @@ def main(argv=None):
     lines = split_scripts(feat_dir)
 
     extra = {}
+    if not args.no_variance:
+        with open(os.path.join(feat_dir, "variance_stats.json")) as fh:
+            vstats = json.load(fh)
+        extra.update(pitch_pred=True, energy_pred=True,
+                     f0_mean=vstats["f0_mean"], f0_std=vstats["f0_std"],
+                     energy_mean=vstats["energy_mean"],
+                     energy_std=vstats["energy_std"])
     if args.tiny:
-        extra = dict(d_model_encoder=64, d_model_decoder=64,
+        extra.update(d_model_encoder=64, d_model_decoder=64,
                      n_layer_encoder=2, n_layer_decoder=2,
                      n_head_encoder=2, n_head_decoder=2,
                      vocoder_convnext_channels=32,
@@ -364,12 +460,15 @@ def main(argv=None):
         extra["vocoder_type"] = "hifigan"
 
     # ---- 3: durations ----
+    ar_eval = None
     if args.durations == "teacher":
-        teacher_durations(args.workdir, feat_dir, lines,
-                          dict(d_model_encoder=64, d_model_decoder=64,
-                               n_layer_encoder=2, n_layer_decoder=2,
-                               n_head_encoder=2, n_head_decoder=2,
-                               max_epoch=60) if args.tiny else {})
+        ar_eval = teacher_durations(
+            args.workdir, feat_dir, lines,
+            dict(d_model_encoder=64, d_model_decoder=64,
+                 n_layer_encoder=2, n_layer_decoder=2,
+                 n_head_encoder=2, n_head_decoder=2,
+                 max_epoch=60) if args.tiny else {},
+            ar_epochs=args.ar_epochs)
     else:
         for line in lines:
             mel_path = line.split("|")[0]
@@ -426,6 +525,18 @@ def main(argv=None):
     # (b) the full pipeline reaches the vocoder floor.
     base_mel = mel_scores(base_gen, feat_dir)
     trained_mel = mel_scores(gen_dir, feat_dir)
+    var_eval = None
+    if not args.no_variance:
+        # pitch/energy predictor collapse, from the trainer's JSONL
+        # curve (standardized units — O(1) scale, config.py f0_mean)
+        with open(os.path.join(save_dir, "logs", "train.jsonl")) as fh:
+            recs = [json.loads(ln) for ln in fh if ln.strip()]
+        var_eval = {}
+        for key in ("loss_f0", "loss_energy"):
+            var_eval[f"{key}_first"] = round(
+                float(np.mean([r[key] for r in recs[:5]])), 4)
+            var_eval[f"{key}_last"] = round(
+                float(np.mean([r[key] for r in recs[-5:]])), 4)
     baseline = audio_scores(base_gen, feat_dir, args.workdir)
     trained = audio_scores(gen_dir, feat_dir, args.workdir)
     voc_quality = copy_synthesis_score(voc_gen_dir, cfg, feat_dir,
@@ -447,7 +558,28 @@ def main(argv=None):
         "durations": args.durations,
         "vocoder_family": args.vocoder_family,
     }
+    if ar_eval is not None:
+        summary.update(ar_eval)
+    if var_eval is not None:
+        summary.update(var_eval)
     print(json.dumps(summary), flush=True)
+    if var_eval is not None and not args.tiny:
+        # the variance predictors learned (standardized-unit L1 curves)
+        assert var_eval["loss_f0_last"] * 2 \
+            < var_eval["loss_f0_first"], var_eval
+        assert var_eval["loss_energy_last"] * 2 \
+            < var_eval["loss_energy_first"], var_eval
+    if ar_eval is not None and not args.tiny:
+        # the AR teacher itself learned: train-loss collapse, the stop
+        # rule terminates within 10% of ground-truth length (mean), and
+        # the extraction attention is near-monotonic with real phone
+        # coverage (the round-3 degenerate alignment had coverage
+        # ~1/n_phones)
+        assert ar_eval["ar_train_loss_last"] * 3 \
+            < ar_eval["ar_train_loss_first"], ar_eval
+        assert ar_eval["ar_len_err_mean"] <= 0.10, ar_eval
+        assert ar_eval["ar_monotonicity"] >= 0.90, ar_eval
+        assert ar_eval["ar_coverage"] >= 0.80, ar_eval
     if args.tiny:
         ok_acoustic = (trained_mel["mel_l1"] < 2.0
                        or trained_mel["mel_l1"] * 1.5

@@ -57,6 +57,30 @@ def durations_from_attention(attn: np.ndarray, n_phones: int,
     return durations.astype(np.int32)
 
 
+def attention_quality(attn: np.ndarray, n_phones: int, n_frames: int,
+                      r: int) -> dict:
+    """Alignment-quality metrics of the selected (most focused) head.
+
+    * ``focus``: F = mean_t max_l A[t, l] — Ren et al. 2019 §3.3's
+      head-selection criterion; 1/n_phones for uniform attention, -> 1
+      for a hard alignment.
+    * ``monotonicity``: fraction of consecutive valid query steps whose
+      argmax phone index does not decrease — 1.0 for a perfectly
+      monotonic (diagonal-ish) alignment, ~0.5 for noise.
+    * ``coverage``: fraction of phones receiving at least one frame —
+      a degenerate all-frames-on-one-phone alignment (the round-3
+      steady-tone failure mode) scores 1/n_phones.
+    """
+    t_q_valid = max((n_frames + r - 1) // r, 1)
+    a = attn[:, :, :t_q_valid, :n_phones]
+    focus = a.max(axis=-1).mean(axis=-1)
+    li, hi = np.unravel_index(np.argmax(focus), focus.shape)
+    hits = a[li, hi].argmax(axis=-1)
+    mono = float(np.mean(np.diff(hits) >= 0)) if len(hits) > 1 else 1.0
+    return {"focus": float(focus[li, hi]), "monotonicity": mono,
+            "coverage": float(len(np.unique(hits)) / n_phones)}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--load_name", type=str, required=True,
@@ -67,6 +91,11 @@ def main(argv=None):
                         help="corpus script (default hp.train_script)")
     parser.add_argument("--out_dir", type=str, default=None,
                         help="write here instead of next to the mels")
+    parser.add_argument("--stats_file", type=str, default=None,
+                        help="write corpus-aggregated alignment-quality "
+                             "JSON (mean focus/monotonicity/coverage) "
+                             "here — the teacher-health signal the "
+                             "FastSpeech bootstrap depends on")
     args = parser.parse_args(argv)
 
     import jax
@@ -112,6 +141,7 @@ def main(argv=None):
     # what this tool is about to create)
     dataset = TTSDataset(hp.train_script, hp, alignment_pred=False,
                          pitch_pred=False, energy_pred=False)
+    stats = []
     for idx in range(len(dataset)):
         sample = dataset[idx]
         batch = collate([sample], hp, pad_batch=False)
@@ -124,8 +154,9 @@ def main(argv=None):
         # AR sample's array minus the prepended go frame (the collated
         # mel_length is r-rounded and can't recover it exactly)
         n_frames = sample["mel"].shape[0] - 1
-        durations = durations_from_attention(
-            np.asarray(attn[0]), n_phones, n_frames, r)
+        attn_np = np.asarray(attn[0])
+        durations = durations_from_attention(attn_np, n_phones, n_frames, r)
+        stats.append(attention_quality(attn_np, n_phones, n_frames, r))
         src = sample["mel_name"]
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
@@ -138,6 +169,15 @@ def main(argv=None):
         print(f"save {dest} (sum={int(durations.sum())}, "
               f"frames={n_frames})")
         sys.stdout.flush()
+
+    agg = {k: float(np.mean([s[k] for s in stats]))
+           for k in ("focus", "monotonicity", "coverage")}
+    agg["n_utts"] = len(stats)
+    print(f"alignment quality: {agg}")
+    if args.stats_file:
+        import json
+        with open(args.stats_file, "w") as fh:
+            json.dump(agg, fh)
 
 
 if __name__ == "__main__":

@@ -15,8 +15,19 @@ retraining. Layout rules:
 Also strips the ``module.`` DataParallel prefix like the reference's
 ``load_model`` (utils/utils.py:107-134).
 
-Currently covers the FastSpeech2 family (transformer encoder/decoder
-stacks, variance adaptor, postnet); extendable by adding rules.
+Covers every reference-trainable model family:
+
+* FastSpeech2 (transformer encoder/decoder, variance adaptor, postnet)
+  — ``convert_fastspeech2_state_dict``
+* AR Transformer-TTS incl. GST style embedding (Models/gst.py:11-74)
+  and the Tacotron2 decoder variant (Models/decoder.py:58-335)
+  — ``convert_transformer_state_dict``
+* Conformer encoder stacks — ``convert_conformer_encoder_state_dict``
+* PostLowEnergy v1/v2 mel-mel students (Models/postnets.py:82-217,
+  incl. the EMA ``Quantize`` buffers)
+  — ``convert_post_low_energy_state_dict``
+* SQ-VAE FastSpeech2 (Models/fastspeech2_sq.py,
+  varianceadaptor_sq.py) — ``convert_sq_fastspeech2_state_dict``
 """
 
 from __future__ import annotations
@@ -206,12 +217,93 @@ def _map_decoder_layer(params, bstats, flax_path, state, torch_name):
             f"{torch_name}.ff.layer_norm")
 
 
+def _map_gru(params, flax_path, state, torch_name):
+    """torch ``nn.GRU`` (1 layer, batch_first) -> flax ``nn.RNN(GRUCell)``.
+
+    torch packs the (r, z, n) gates along dim 0 of weight_ih/hh_l0; flax
+    keeps six Dense submodules under ``<rnn>/cell``. The formulations are
+    exactly equivalent: flax sums the input and hidden r/z projections
+    before the bias, so ``ir.bias = b_ir + b_hr`` (same for z); the n
+    gate keeps both biases because torch computes
+    ``tanh(W_in x + b_in + r * (W_hn h + b_hn))`` and flax mirrors it
+    with ``in.bias = b_in`` and ``hn.bias = b_hn``.
+    """
+    wi = _to_np(state[f"{torch_name}.weight_ih_l0"])    # (3H, in)
+    wh = _to_np(state[f"{torch_name}.weight_hh_l0"])    # (3H, H)
+    bi = _to_np(state[f"{torch_name}.bias_ih_l0"])
+    bh = _to_np(state[f"{torch_name}.bias_hh_l0"])
+    h = wh.shape[1]
+    cell = flax_path
+    for g, nm in enumerate(("r", "z", "n")):
+        sl = slice(g * h, (g + 1) * h)
+        _set(params, cell + (f"i{nm}", "kernel"), wi[sl].T)
+        _set(params, cell + (f"h{nm}", "kernel"), wh[sl].T)
+    _set(params, cell + ("ir", "bias"), bi[0:h] + bh[0:h])
+    _set(params, cell + ("iz", "bias"), bi[h:2 * h] + bh[h:2 * h])
+    _set(params, cell + ("in", "bias"), bi[2 * h:3 * h])
+    _set(params, cell + ("hn", "bias"), bh[2 * h:3 * h])
+
+
+def convert_style_embedding(params, bstats, state,
+                            prefix: str = "style_embedding"):
+    """Reference GST ``StyleEmbedding`` (Models/gst.py:11-74) subtrees.
+
+    ReferenceEncoder: six 3x3/stride-2 Conv2d (NCHW (out,in,3,3) ->
+    flax NHWC kernel (3,3,in,out)) + BatchNorm2d + a 128-unit GRU;
+    StyleTokenLayer: the 10x384 token table + its 4-head MHA.
+    """
+    re_t = f"{prefix}.reference_encoder"
+    re_f = (prefix, "reference_encoder")
+    for i in range(6):
+        w = _to_np(state[f"{re_t}.conv_layers.{i}.weight"])
+        _set(params, re_f + (f"conv_{i}", "kernel"), w.transpose(2, 3, 1, 0))
+        _map_bn(params, bstats, re_f + (f"norm_{i}",), state,
+                f"{re_t}.norm.{i}")
+    _map_gru(params, re_f + ("gru_cell",), state, f"{re_t}.gru")
+    stl_t = f"{prefix}.style_token_layer"
+    stl_f = (prefix, "style_token_layer")
+    _set(params, stl_f + ("embeddings",),
+         _to_np(state[f"{stl_t}.embeddings"]))
+    _map_mha(params, bstats, stl_f + ("attention",), state,
+             f"{stl_t}.attention")
+
+
+# hand-rolled zoneout-LSTM decoder (Models/decoder.py:58-335): every
+# sublayer is a plain Linear/Conv1d whose attribute name this package
+# reuses verbatim, so the map is mechanical
+_TACOTRON2_LINEARS = (
+    "speaker_embeddings", "L_spkr2s1", "L_spkr2s2", "speaker_L_l1_es",
+    "L_l1_ys", "L_l1_ss", "L_l1_gs", "L_l2_is", "L_l2_ss",
+    "FrameProj", "TokenProj", "Prenet1", "Prenet2",
+    "AttentionConvProj", "AttentionEncoderProj", "AttentionDecoderProj",
+    "AttentionSelfProj")
+
+
+def _map_tacotron2_decoder(params, bstats, state,
+                           torch_prefix: str = "decoder"):
+    for n in _TACOTRON2_LINEARS:
+        key = f"{torch_prefix}.{n}.weight"
+        if key not in state:
+            continue                       # speaker branches are optional
+        if n == "speaker_embeddings" and f"{torch_prefix}.{n}.bias" \
+                not in state:
+            # nn.Embedding speaker table (decoder.py:72)
+            _map_embed(params, bstats, ("decoder", n), state,
+                       f"{torch_prefix}.{n}")
+        else:
+            _map_linear(params, bstats, ("decoder", n), state,
+                        f"{torch_prefix}.{n}")
+    _map_conv1d(params, bstats, ("decoder", "AttentionConv"), state,
+                f"{torch_prefix}.AttentionConv")
+
+
 def convert_transformer_state_dict(state_dict: Dict, hp):
     """Reference AR Transformer state_dict -> (params, batch_stats).
 
     Covers the transformer encoder + AR decoder + out/stop heads + causal
-    postnet (Models/transformer.py:15-118). GST and the Tacotron2 decoder
-    variant are not yet mapped.
+    postnet (Models/transformer.py:15-118), the GST style embedding
+    (hp.gst), and the Tacotron2 decoder variant (hp.decoder_type,
+    Models/decoder.py:58-335 — frame/stop heads live inside it).
     """
     state = _strip_module_prefix(state_dict)
     params: Dict = {}
@@ -221,21 +313,26 @@ def convert_transformer_state_dict(state_dict: Dict, hp):
                        hp.n_layer_encoder, embedding=True)
     if hp.d_model_encoder != hp.d_model_decoder:
         _map_linear(params, bstats, ("linear",), state, "linear")
+    if getattr(hp, "gst", False):
+        convert_style_embedding(params, bstats, state)
 
-    dec = ("decoder",)
-    _map_linear(params, bstats, dec + ("decoder_prenet", "fc1"), state,
-                "decoder.decoder_prenet.layer.fc1")
-    _map_linear(params, bstats, dec + ("decoder_prenet", "fc2"), state,
-                "decoder.decoder_prenet.layer.fc2")
-    _set(params, dec + ("pe", "alpha"),
-         _to_np(state["decoder.pe.alpha"]))
-    for i in range(hp.n_layer_decoder):
-        _map_decoder_layer(params, bstats, dec + (f"layers_{i}",), state,
-                           f"decoder.layers.{i}")
-    _map_ln(params, bstats, dec + ("norm",), state, "decoder.norm")
+    if getattr(hp, "decoder_type", "transformer").lower() == "tacotron2":
+        _map_tacotron2_decoder(params, bstats, state)
+    else:
+        dec = ("decoder",)
+        _map_linear(params, bstats, dec + ("decoder_prenet", "fc1"), state,
+                    "decoder.decoder_prenet.layer.fc1")
+        _map_linear(params, bstats, dec + ("decoder_prenet", "fc2"), state,
+                    "decoder.decoder_prenet.layer.fc2")
+        _set(params, dec + ("pe", "alpha"),
+             _to_np(state["decoder.pe.alpha"]))
+        for i in range(hp.n_layer_decoder):
+            _map_decoder_layer(params, bstats, dec + (f"layers_{i}",),
+                               state, f"decoder.layers.{i}")
+        _map_ln(params, bstats, dec + ("norm",), state, "decoder.norm")
 
-    _map_linear(params, bstats, ("out",), state, "out")
-    _map_linear(params, bstats, ("stop_token",), state, "stop_token")
+        _map_linear(params, bstats, ("out",), state, "out")
+        _map_linear(params, bstats, ("stop_token",), state, "stop_token")
 
     pn = ("postnet",)
     # AR postnet is prev_version=False: conv stack only, no 'out' Dense
@@ -310,4 +407,105 @@ def convert_conformer_encoder_state_dict(state_dict: Dict, n_layers: int,
         _map_bn(params, bstats, c + ("batch_norm",), state,
                 f"{t}.conv_module.batch_norm")
     _map_ln(params, bstats, ("norm",), state, f"{p}norm")
+    return params, bstats
+
+
+def convert_post_low_energy_state_dict(state_dict: Dict, hp):
+    """Reference PostLowEnergy v1/v2 mel-mel student
+    (Models/postnets.py:82-217) -> (params, batch_stats, vq_stats).
+
+    v1 (hp.version in (1, 5)): Encoder stack (Linear embed) + out head.
+    v2: input projections (linear1 / linear2 when hp.phone_embed /
+    linear_xvector per hp.spk_emb_postprocess_type), the optional
+    EMA-VQ branch (hp.vq_code: vq_encoder_lmfb 1x1 conv + Quantize
+    buffers -> the ``vq_stats`` collection), Encoder stack, out head.
+    """
+    state = _strip_module_prefix(state_dict)
+    params: Dict = {}
+    bstats: Dict = {}
+    vq: Dict = {}
+    if getattr(hp, "post_conformer", False):
+        raise NotImplementedError(
+            "post_conformer student: convert the encoder with "
+            "convert_conformer_encoder_state_dict(prefix='encoder')")
+    _map_encoder_stack(params, bstats, ("encoder",), state, "encoder",
+                       hp.n_layer_post_model, embedding=False)
+    _map_linear(params, bstats, ("out",), state, "out")
+    if hp.version not in (1, 5):
+        if "linear1.weight" in state:
+            _map_linear(params, bstats, ("linear1",), state, "linear1")
+        if "linear2.weight" in state:
+            _map_linear(params, bstats, ("linear2",), state, "linear2")
+        if "linear_xvector.weight" in state:
+            if "linear_xvector.bias" in state:
+                _map_linear(params, bstats, ("linear_xvector",), state,
+                            "linear_xvector")
+            else:                          # speaker_id -> nn.Embedding
+                _map_embed(params, bstats, ("linear_xvector",), state,
+                           "linear_xvector")
+        if "vq_encoder_lmfb.weight" in state:
+            _map_conv1d(params, bstats, ("vq_encoder_lmfb",), state,
+                        "vq_encoder_lmfb")
+            for buf in ("embed", "cluster_size", "embed_avg"):
+                _set(vq, ("quantize_lmfb", buf),
+                     _to_np(state[f"quantize_lmfb.{buf}"]))
+    return params, bstats, vq
+
+
+def convert_sq_fastspeech2_state_dict(state_dict: Dict, hp):
+    """Reference SQ-VAE FastSpeech2 (Models/fastspeech2_sq.py:18-82,
+    varianceadaptor_sq.py:30-128) -> (params, batch_stats).
+
+    Transformer encoder/decoder stacks + the SQ variance adaptor
+    (log_var_q_scalar, SQEmbedding codebook, duration/pitch/energy
+    predictors + embeddings) + postnet or plain out head.
+    """
+    state = _strip_module_prefix(state_dict)
+    params: Dict = {}
+    bstats: Dict = {}
+    if getattr(hp, "encoder_type", "transformer").lower() == "conformer" \
+            or getattr(hp, "decoder_type", "transformer").lower() \
+            == "conformer":
+        raise NotImplementedError(
+            "conformer SQ stacks: convert with "
+            "convert_conformer_encoder_state_dict(prefix=...)")
+    _map_encoder_stack(params, bstats, ("encoder",), state, "encoder",
+                       hp.n_layer_encoder, embedding=True)
+    _map_encoder_stack(params, bstats, ("decoder",), state, "decoder",
+                       hp.n_layer_decoder, embedding=False)
+
+    va = ("variance_adaptor",)
+    _set(params, va + ("log_var_q_scalar",),
+         _to_np(state["variance_adaptor.log_var_q_scalar"]))
+    _set(params, va + ("codebook", "embedding"),
+         _to_np(state["variance_adaptor.codebook.embedding"]))
+    _map_variance_predictor(params, bstats, va + ("duration_predictor",),
+                            state, "variance_adaptor.duration_predictor")
+    if hp.pitch_pred and \
+            "variance_adaptor.pitch_predictor.conv1.weight" in state:
+        _map_variance_predictor(params, bstats, va + ("pitch_predictor",),
+                                state, "variance_adaptor.pitch_predictor")
+        _map_embed(params, bstats, va + ("pitch_embedding",), state,
+                   "variance_adaptor.pitch_embedding")
+    if hp.energy_pred and \
+            "variance_adaptor.energy_predictor.conv1.weight" in state:
+        _map_variance_predictor(params, bstats, va + ("energy_predictor",),
+                                state, "variance_adaptor.energy_predictor")
+        _map_embed(params, bstats, va + ("energy_embedding",), state,
+                   "variance_adaptor.energy_embedding")
+
+    if hp.postnet_pred:
+        pn = ("postnet",)
+        _map_linear(params, bstats, pn + ("out",), state, "postnet.out")
+        _map_conv1d(params, bstats, pn + ("conv1",), state, "postnet.conv1")
+        _map_conv1d(params, bstats, pn + ("conv2",), state, "postnet.conv2")
+        _map_bn(params, bstats, pn + ("pre_batchnorm",), state,
+                "postnet.pre_batchnorm")
+        for i in range(3):
+            _map_conv1d(params, bstats, pn + (f"conv_list_{i}",), state,
+                        f"postnet.conv_list.{i}")
+            _map_bn(params, bstats, pn + (f"batch_norm_list_{i}",), state,
+                    f"postnet.batch_norm_list.{i}")
+    else:
+        _map_linear(params, bstats, ("out",), state, "out")
     return params, bstats

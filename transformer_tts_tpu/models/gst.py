@@ -6,6 +6,12 @@ Reference: ``Models/gst.py``.
   BatchNorm + ReLU over the (T, mel) "image", then a GRU whose LAST hidden
   state is the 128-d reference embedding. On TPU the GRU runs as a
   ``flax.linen.RNN`` (lax.scan); the conv stack is plain NHWC conv.
+  REFERENCE QUIRK replicated: gst.py:50 reshapes the conv output
+  ``(B, C, T, H) -> (B, T, H*C)`` WITHOUT permuting, interleaving
+  channels and time steps in the GRU input (the idiomatic version would
+  be ``permute(0,2,3,1)`` first). We reproduce the exact memory-order
+  semantics so reference-trained GST checkpoints migrate bit-true
+  (compat/torch_import.convert_style_embedding).
 * ``StyleTokenLayer`` (gst.py:54-73): 10 learnable 384-d tokens,
   tanh-squashed, attended by a 4-head MHA with a 128-d query.
 """
@@ -36,9 +42,13 @@ class ReferenceEncoder(nn.Module):
                              dtype=self.dtype, name=f"norm_{i}")(x)
             x = nn.relu(x)
         b, t, h, c = x.shape
-        x = x.reshape(b, t, h * c)
+        # reference-exact GRU input: NCHW memory order reshaped
+        # (B, C, T, H) -> (B, T, H*C) with NO permute (gst.py:49-50) —
+        # see the module docstring
+        x = x.transpose(0, 3, 1, 2).reshape(b, t, h * c)
         # GRU; take last hidden state (gst.py:50-51)
-        rnn = nn.RNN(nn.GRUCell(128, dtype=self.dtype), name="gru")
+        rnn = nn.RNN(nn.GRUCell(128, dtype=self.dtype, name="gru_cell"),
+                     name="gru")
         out = rnn(x)
         return out[:, -1, :]
 
