@@ -32,6 +32,66 @@ def test_durations_sum_invariant_under_rounding():
         assert (d >= 0).all()
 
 
+def test_mas_recovers_exact_alignment():
+    from transformer_tts_tpu.cli.extract_durations import mas_durations
+    # ground-truth monotonic alignment with varying durations
+    rs = np.random.RandomState(2)
+    true_d = np.array([2, 3, 1, 2])               # in decoder steps
+    t_q, l = int(true_d.sum()), 4
+    attn = rs.rand(2, 2, t_q, l).astype(np.float32) * 0.05
+    q = 0
+    for phone, d in enumerate(true_d):
+        for _ in range(d):
+            attn[0, 1, q, phone] = 0.9
+            q += 1
+    d, head, score = mas_durations(attn, n_phones=l, n_frames=2 * t_q,
+                                   r=2)
+    assert head == (0, 1)
+    np.testing.assert_array_equal(d, true_d * 2)
+    assert np.isfinite(score)
+
+
+def test_mas_beats_focused_degenerate_head():
+    """A sharply-focused but degenerate head (all mass on one phone —
+    the round-3 failure mode) must lose to a broader aligned head under
+    MAS selection; raw focus-rate selection would pick the degenerate
+    one and extract [0,..,T,..,0]."""
+    from transformer_tts_tpu.cli.extract_durations import (
+        attention_quality, durations_from_attention, mas_durations)
+    t_q, l = 8, 4
+    attn = np.full((1, 2, t_q, l), 0.02, np.float32)
+    attn[0, 0, :, 2] = 1.0                # degenerate: focus 1.0
+    for q in range(t_q):                  # aligned but soft: focus 0.6
+        attn[0, 1, q, q // 2] = 0.6
+    d_mas, head, _ = mas_durations(attn, n_phones=l, n_frames=16, r=2)
+    assert head == (0, 1)
+    np.testing.assert_array_equal(d_mas, [4, 4, 4, 4])
+    # the focus rule picks the degenerate head -> one phone eats all
+    d_arg = durations_from_attention(attn, n_phones=l, n_frames=16, r=2)
+    assert d_arg[2] == 16 and d_arg.sum() == 16
+    assert attention_quality(attn, l, 16, 2)["coverage"] == 0.25
+
+
+def test_mas_durations_sum_invariant():
+    from transformer_tts_tpu.cli.extract_durations import mas_durations
+    rs = np.random.RandomState(3)
+    for n_frames in (13, 14, 15, 16):
+        attn = rs.rand(1, 1, 8, 4).astype(np.float32)
+        d, _, _ = mas_durations(attn, n_phones=4, n_frames=n_frames, r=2)
+        assert d.sum() == n_frames
+        assert (d >= 0).all()
+
+
+def test_mas_falls_back_when_too_short():
+    """More phones than decoder steps: MAS is infeasible; falls back to
+    the argmax recipe (still sums to n_frames)."""
+    from transformer_tts_tpu.cli.extract_durations import mas_durations
+    rs = np.random.RandomState(4)
+    attn = rs.rand(1, 1, 3, 6).astype(np.float32)
+    d, _, score = mas_durations(attn, n_phones=6, n_frames=6, r=2)
+    assert d.sum() == 6 and score == float("-inf")
+
+
 @pytest.mark.slow
 def test_ar_teacher_to_fastspeech2_pipeline(tmp_path):
     """Train AR -> extract durations -> FS2 trains on them."""

@@ -522,3 +522,34 @@ def test_variance_stats_balances_the_multi_task_loss():
     # raw: the f0 term IS the total, mel terms are noise beside it
     assert raw["loss_f0"] > 10.0, raw
     assert raw["loss_f0"] > 0.8 * raw["loss_total"], raw
+
+
+def test_standardized_variance_loss_ignores_padding():
+    """In standardized mode the f0/energy L1 must run over VALID frames
+    only: the raw-unit pad value 0 standardizes to the constant
+    -mean/std, and with frame buckets much longer than the utterances
+    that constant otherwise dominates the loss (measured: loss_energy
+    plateaued at ~2.1 = |mean|/std for 4000 steps on the full-pipeline
+    corpus — round-4 fix in losses.fastspeech2_loss)."""
+    batch = dict(make_batch(0))
+    # pad the last 12 of 48 frames: durations 3/phone (sum 36), pos_mel 0
+    pos_mel = np.asarray(batch["pos_mel"]).copy()
+    pos_mel[:, 36:] = 0
+    batch["pos_mel"] = jnp.asarray(pos_mel)
+    batch["alignment"] = jnp.full_like(batch["alignment"], 3)
+    f0 = np.repeat(150.0 + (np.asarray(batch["text"]) % 7) * 20.0,
+                   4, axis=1).astype(np.float32)
+    # poison the PADDED region of the target
+    valid = pos_mel != 0
+    f0_poison = f0.copy()
+    f0_poison[~valid] = 7777.0
+    hp = tiny_hp(energy_pred=False, f0_mean=210.0, f0_std=45.0)
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    rng = jax.random.PRNGKey(7)
+    b1 = dict(batch, f0=jnp.asarray(f0))
+    b2 = dict(batch, f0=jnp.asarray(f0_poison))
+    _, logs1 = step_fn(state, b1, rng)
+    _, logs2 = step_fn(state, b2, rng)
+    assert float(logs1["loss_f0"]) == float(logs2["loss_f0"]), (
+        logs1["loss_f0"], logs2["loss_f0"])

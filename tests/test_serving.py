@@ -448,3 +448,119 @@ def test_engine_with_neural_vocoder(tmp_path):
     _, voc_apply, voc_vars = engine._vocoder
     wav_e = np.asarray(voc_apply(voc_vars, jnp.asarray(mel)))
     np.testing.assert_allclose(wav_x, wav_e, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_engine_family_matrix(tmp_path):
+    """Serve-or-refuse over every architecture: every snapshot either
+    serves its FULL synthesis semantics or the constructor raises —
+    nothing silently serves a degraded output (VERDICT r3 #7).
+
+    Matrix: FS2 (plain + post_model-fused), text-mel-mel integrate,
+    bare mel-mel snapshot (refused), tacotron2 decoder (refused),
+    GST without ref_mel (refused) / with ref_mel (served)."""
+    from tests.test_cli import write_hp, MEL_DIM
+    from transformer_tts_tpu.cli import train as cli_train
+    from transformer_tts_tpu.infer.engine import TTSEngine
+
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        t_text = rs.randint(4, 8)
+        t_mel = t_text * 3
+        base = tmp_path / f"utt{i}.npy"
+        np.save(base, rs.randn(t_mel, MEL_DIM).astype(np.float32))
+        np.save(tmp_path / f"utt{i}_alignment.npy",
+                np.full((t_text,), 3, np.int32))
+        np.save(tmp_path / f"utt{i}_f0.npy",
+                rs.rand(t_mel).astype(np.float32) * 300)
+        np.save(tmp_path / f"utt{i}_energy.npy",
+                rs.rand(t_mel).astype(np.float32) * 100)
+        ids = " ".join(str(x) for x in rs.randint(1, 20, t_text))
+        lines.append(f"{base}|{ids}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "test.txt").write_text(lines[0] + "\n")
+
+    # FS2 teacher — enough epochs that durations round to >= 1 frame
+    hp_path, save_dir = write_hp(tmp_path, tmp_path, max_epoch=8)
+    cli_train.main(["--hp_file", hp_path])
+
+    # mel-mel student on the frozen teacher
+    post_dir = str(tmp_path / "post_ckpt")
+    hp2, _ = write_hp(tmp_path, tmp_path, max_epoch=1,
+                      architecture="mel-mel", version=3, phone_embed=True,
+                      n_layer_post_model=1, pretrain_model=str(save_dir),
+                      save_dir=post_dir)
+    cli_train.main(["--hp_file", hp2])
+
+    # bare mel-mel snapshot: refused with instructions
+    with pytest.raises(ValueError, match="mel-mel"):
+        TTSEngine(post_dir, batch_size=2, text_buckets=(8,))
+
+    # FS2 + fused post model: same shapes, different (refined) values
+    texts = [[1, 2, 3, 4]]
+    eng_plain = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                          text_buckets=(8,))
+    r_plain = eng_plain.synthesize(texts)[0]
+    eng_post = TTSEngine(save_dir, batch_size=2, frames_per_phone=4,
+                         text_buckets=(8,), post_model=post_dir)
+    r_post = eng_post.synthesize(texts)[0]
+    assert r_post["mel"].shape == r_plain["mel"].shape
+    assert np.isfinite(r_post["mel"]).all()
+    if r_plain["mel"].shape[0] > 0:
+        assert not np.allclose(r_post["mel"], r_plain["mel"])
+    with pytest.raises(NotImplementedError, match="refinement"):
+        list(eng_post.synthesize_streaming([1, 2, 3]))
+
+    # integrate (text-mel-mel) snapshot: served through the joint model
+    int_dir = str(tmp_path / "int_ckpt")
+    # enough epochs that the duration head rounds to >= 1 frame/phone
+    # (exp(0)-1 = 0 untrained); 8 sufficed for the CLI test's corpus,
+    # this one needs a little more
+    hp3, _ = write_hp(tmp_path, tmp_path, max_epoch=20,
+                      architecture="text-mel-mel", version=3,
+                      phone_embed=True, postnet_pred=False,
+                      n_layer_post_model=1, save_per_epoch=20,
+                      save_dir=int_dir)
+    cli_train.main(["--hp_file", hp3])
+    eng_int = TTSEngine(int_dir, batch_size=2, frames_per_phone=4,
+                        text_buckets=(8,))
+    r_int = eng_int.synthesize(texts)[0]
+    assert r_int["mel"].ndim == 2 and r_int["mel"].shape[1] == MEL_DIM
+    assert r_int["mel"].shape[0] > 0 and np.isfinite(r_int["mel"]).all()
+    with pytest.raises(NotImplementedError, match="refinement"):
+        list(eng_int.synthesize_streaming([1, 2, 3]))
+    # joint snapshots carry their own post model
+    with pytest.raises(ValueError, match="joint"):
+        TTSEngine(int_dir, batch_size=2, text_buckets=(8,),
+                  post_model=post_dir)
+
+    # tacotron2 decoder: refused at construction (before any restore)
+    taco_dir = tmp_path / "taco"
+    taco_dir.mkdir()
+    (taco_dir / "hparams.py").write_text(
+        "architecture = 'text-mel'\nmodel = 'Transformer'\n"
+        "decoder_type = 'tacotron2'\nvocab_size = 20\nmel_dim = "
+        f"{MEL_DIM}\n")
+    with pytest.raises(ValueError, match="tacotron2"):
+        TTSEngine(str(taco_dir), batch_size=2, text_buckets=(8,))
+
+    # GST: refused without a style reference, served with one
+    ar_dir = str(tmp_path / "ar_gst")
+    hp4, _ = write_hp(tmp_path, tmp_path, model="Transformer",
+                      max_epoch=1, reduction_rate=2,
+                      ff_conv_kernel_size_decoder=1, gst=True,
+                      save_dir=ar_dir)
+    cli_train.main(["--hp_file", hp4])
+    with pytest.raises(ValueError, match="ref_mel"):
+        TTSEngine(ar_dir, batch_size=2, text_buckets=(8,))
+    ref = tmp_path / "style_ref.npy"
+    np.save(ref, rs.randn(12, MEL_DIM).astype(np.float32))
+    eng_gst = TTSEngine(ar_dir, batch_size=2, frames_per_phone=4,
+                        text_buckets=(8,), ref_mel=str(ref))
+    r_gst = eng_gst.synthesize(texts)[0]
+    assert r_gst["mel"].ndim == 2 and np.isfinite(r_gst["mel"]).all()
+    # AR snapshots reject post_model (they have their own causal postnet)
+    with pytest.raises(ValueError, match="post_model|causal postnet"):
+        TTSEngine(ar_dir, batch_size=2, text_buckets=(8,),
+                  post_model=post_dir, ref_mel=str(ref))

@@ -5,15 +5,25 @@
 
 Completes the in-framework FastSpeech2 pipeline: the reference (like
 most FS2 codebases) assumes ``*_alignment.npy`` duration siblings already
-exist from an external aligner and never shows how to produce them. This
-is the canonical FastSpeech recipe instead (Ren et al. 2019 §3.3): run
-the trained autoregressive Transformer-TTS teacher-forced over the
-corpus, pick the most diagonal cross-attention head by focus rate
-``F = mean_t max_l A[t, l]``, and set each phone's duration to the
-number of mel frames whose attention argmax lands on it. Durations are
-scaled by the teacher's reduction rate and adjusted so each utterance's
-durations sum exactly to its (unpadded) mel frame count — the invariant
-the FS2 data layer and length regulator rely on.
+exist from an external aligner and never shows how to produce them.
+
+Two extraction modes (``--align``):
+
+* ``mas`` (default): monotonic alignment search — a Viterbi pass over
+  each head's attention log-probs finding the best monotonic path from
+  (frame 0, phone 0) to (T-1, L-1) with steps of 0/+1 phones (the
+  Glow-TTS MAS decomposition, Kim et al. 2020 §2.2). The head is
+  selected by highest normalized path log-probability. Monotonicity and
+  full phone coverage hold BY CONSTRUCTION, so a single noisy head
+  can't produce the degenerate ``[0,..,T,..,0]`` alignments raw argmax
+  is prone to.
+* ``argmax``: the canonical FastSpeech recipe (Ren et al. 2019 §3.3) —
+  pick the most focused head (``F = mean_t max_l A[t, l]``) and count
+  attention-argmax hits per phone.
+
+Durations are scaled by the teacher's reduction rate and adjusted so
+each utterance's durations sum exactly to its (unpadded) mel frame
+count — the invariant the FS2 data layer and length regulator rely on.
 
 Writes ``<mel_stem>_alignment.npy`` next to each mel (or under
 ``--out_dir``), after which the same script file trains FastSpeech2.
@@ -57,8 +67,67 @@ def durations_from_attention(attn: np.ndarray, n_phones: int,
     return durations.astype(np.int32)
 
 
+def _mas_counts(logp: np.ndarray) -> np.ndarray:
+    """Viterbi monotonic path through (T, L) log-probs -> per-phone
+    frame counts. Step rule: phone index advances 0 or 1 per frame;
+    path runs (0,0) -> (T-1, L-1), so every phone gets >= 1 frame when
+    T >= L (Glow-TTS MAS, Kim et al. 2020 §2.2)."""
+    t_q, n = logp.shape
+    q = np.full((t_q, n), -np.inf)
+    q[0, 0] = logp[0, 0]
+    for t in range(1, t_q):
+        stay = q[t - 1]
+        move = np.concatenate([[-np.inf], q[t - 1, :-1]])
+        q[t] = logp[t] + np.maximum(stay, move)
+    counts = np.zeros((n,), np.int64)
+    l = n - 1
+    for t in range(t_q - 1, -1, -1):
+        counts[l] += 1
+        if t > 0 and l > 0 and q[t - 1, l - 1] >= q[t - 1, l]:
+            l -= 1
+    return counts
+
+
+def mas_durations(attn: np.ndarray, n_phones: int, n_frames: int,
+                  r: int):
+    """(layers, H, T_q, L) attention -> (durations, (layer, head), score).
+
+    Runs MAS on every head over the valid block; selects the head whose
+    best monotonic path has the highest per-frame log-probability.
+    """
+    t_q_valid = max((n_frames + r - 1) // r, 1)
+    if t_q_valid < n_phones:
+        # MAS needs >= 1 frame per phone; degenerate clip -> argmax
+        d = durations_from_attention(attn, n_phones, n_frames, r)
+        return d, (0, 0), float("-inf")
+    a = attn[:, :, :t_q_valid, :n_phones].astype(np.float64)
+    logp = np.log(np.maximum(a, 1e-8))
+    best = None
+    for li in range(a.shape[0]):
+        for hi in range(a.shape[1]):
+            counts = _mas_counts(logp[li, hi])
+            score = float(
+                logp[li, hi][np.arange(t_q_valid),
+                             np.repeat(np.arange(n_phones), counts)]
+                .mean())
+            if best is None or score > best[2]:
+                best = (counts, (li, hi), score)
+    counts, head, score = best
+    durations = counts * r
+    excess = int(durations.sum()) - n_frames
+    i = n_phones - 1
+    while excess > 0 and i >= 0:
+        cut = min(excess, int(durations[i]))
+        durations[i] -= cut
+        excess -= cut
+        i -= 1
+    if excess < 0:
+        durations[n_phones - 1] += -excess
+    return durations.astype(np.int32), head, score
+
+
 def attention_quality(attn: np.ndarray, n_phones: int, n_frames: int,
-                      r: int) -> dict:
+                      r: int, head=None) -> dict:
     """Alignment-quality metrics of the selected (most focused) head.
 
     * ``focus``: F = mean_t max_l A[t, l] — Ren et al. 2019 §3.3's
@@ -70,11 +139,18 @@ def attention_quality(attn: np.ndarray, n_phones: int, n_frames: int,
     * ``coverage``: fraction of phones receiving at least one frame —
       a degenerate all-frames-on-one-phone alignment (the round-3
       steady-tone failure mode) scores 1/n_phones.
+
+    ``head``: evaluate this (layer, head) instead of the most-focused
+    one (e.g. the MAS-selected head). All three metrics are computed
+    from the head's RAW argmax hits — for a MAS-selected head they
+    remain an independent diagnostic (MAS paths are monotonic by
+    construction, raw argmax is not).
     """
     t_q_valid = max((n_frames + r - 1) // r, 1)
     a = attn[:, :, :t_q_valid, :n_phones]
     focus = a.max(axis=-1).mean(axis=-1)
-    li, hi = np.unravel_index(np.argmax(focus), focus.shape)
+    li, hi = head if head is not None else \
+        np.unravel_index(np.argmax(focus), focus.shape)
     hits = a[li, hi].argmax(axis=-1)
     mono = float(np.mean(np.diff(hits) >= 0)) if len(hits) > 1 else 1.0
     return {"focus": float(focus[li, hi]), "monotonicity": mono,
@@ -96,6 +172,11 @@ def main(argv=None):
                              "JSON (mean focus/monotonicity/coverage) "
                              "here — the teacher-health signal the "
                              "FastSpeech bootstrap depends on")
+    parser.add_argument("--align", choices=("mas", "argmax"),
+                        default="mas",
+                        help="mas: Viterbi monotonic alignment search "
+                             "over the best head (default); argmax: the "
+                             "raw Ren et al. focus-rate recipe")
     args = parser.parse_args(argv)
 
     import jax
@@ -155,8 +236,17 @@ def main(argv=None):
         # mel_length is r-rounded and can't recover it exactly)
         n_frames = sample["mel"].shape[0] - 1
         attn_np = np.asarray(attn[0])
-        durations = durations_from_attention(attn_np, n_phones, n_frames, r)
-        stats.append(attention_quality(attn_np, n_phones, n_frames, r))
+        if args.align == "mas":
+            durations, head, score = mas_durations(
+                attn_np, n_phones, n_frames, r)
+            s = attention_quality(attn_np, n_phones, n_frames, r,
+                                  head=head)
+            s["mas_logp"] = score
+        else:
+            durations = durations_from_attention(
+                attn_np, n_phones, n_frames, r)
+            s = attention_quality(attn_np, n_phones, n_frames, r)
+        stats.append(s)
         src = sample["mel_name"]
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
@@ -170,9 +260,11 @@ def main(argv=None):
               f"frames={n_frames})")
         sys.stdout.flush()
 
-    agg = {k: float(np.mean([s[k] for s in stats]))
-           for k in ("focus", "monotonicity", "coverage")}
+    keys = [k for k in ("focus", "monotonicity", "coverage", "mas_logp")
+            if k in stats[0]]
+    agg = {k: float(np.mean([s[k] for s in stats])) for k in keys}
     agg["n_utts"] = len(stats)
+    agg["align"] = args.align
     print(f"alignment quality: {agg}")
     if args.stats_file:
         import json

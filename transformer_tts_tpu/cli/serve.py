@@ -49,6 +49,13 @@ def main(argv=None):
                         help="weight-only quantization of the acoustic "
                              "model: weights stream from HBM as int8 + "
                              "per-channel scale (infer/quantize.py)")
+    parser.add_argument("--post_model", type=str, default=None,
+                        help="mel-mel PostLowEnergy student checkpoint; "
+                             "the refinement is fused into the jitted "
+                             "serving forward")
+    parser.add_argument("--ref_mel", type=str, default=None,
+                        help="style reference mel .npy for GST models "
+                             "(required when hp.gst)")
     args = parser.parse_args(argv)
 
     from transformer_tts_tpu.infer.engine import TTSEngine
@@ -60,7 +67,8 @@ def main(argv=None):
         args.load_name, args.hp_file, epoch=args.epoch,
         batch_size=args.batch_size, frames_per_phone=args.frames_per_phone,
         text_buckets=buckets, vocoder=args.vocoder,
-        quantize=args.quantize)
+        quantize=args.quantize, post_model=args.post_model,
+        ref_mel=args.ref_mel)
     if engine.quantize_stats is not None:
         s = engine.quantize_stats
         print(f"int8 weights: {s['n_quantized']} tensors quantized, "

@@ -15,10 +15,22 @@ shape surprises at request time are unacceptable, so the engine:
   ``jax.export`` StableHLO artifact + manifest — a deployable unit that a
   serving binary can load without Python model code.
 
-Serves both transformer families: NAR FastSpeech2 (single forward) and
-AR Transformer-TTS (batched KV-cached decode — the while_loop step is
-latency-bound, so batching is nearly free; PERF_NOTES "Inference").
-The Tacotron2 decoder stays on the offline CLI path.
+Serve-or-refuse over every model family (each architecture either runs
+with its full synthesis semantics or the constructor raises — nothing
+silently serves a degraded output):
+
+* NAR FastSpeech2 — single forward;
+* AR Transformer-TTS — batched KV-cached decode (the while_loop step is
+  latency-bound, so batching is nearly free; PERF_NOTES "Inference");
+* GST models — require a ``ref_mel`` style reference at construction
+  (transformer.py:96-101 eval path); refused with instructions if absent;
+* text-mel-mel joint (integrate) models — served through
+  ``synthesize_integrate`` (the refined output, never the bare prenet);
+* FS2 + mel-mel PostLowEnergy student — pass ``post_model=<ckpt dir>``;
+  the refinement is fused into the jitted forward
+  (``synthesize_fastspeech2_post``);
+* Tacotron2 decoder / bare mel-mel snapshots — refused at construction
+  (offline CLI paths).
 """
 
 from __future__ import annotations
@@ -37,7 +49,9 @@ class TTSEngine:
                  frames_per_phone: int = 8,
                  text_buckets: Optional[Sequence[int]] = None,
                  vocoder: Optional[str] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 post_model: Optional[str] = None,
+                 ref_mel: Optional[str] = None):
         import jax
         import jax.numpy as jnp
         from transformer_tts_tpu.config import is_nar_model, load_hparams
@@ -55,7 +69,24 @@ class TTSEngine:
         if self.is_ar and hp.decoder_type.lower() == "tacotron2":
             raise ValueError(
                 "TTSEngine serves the transformer families; the "
-                "tacotron2 decoder stays on the offline CLI path")
+                "tacotron2 decoder stays on the offline CLI path "
+                "(cli/synthesize)")
+        if hp.architecture == "mel-mel":
+            raise ValueError(
+                "a bare mel-mel PostLowEnergy snapshot is not a "
+                "text-to-speech model; serve its FastSpeech2 teacher "
+                "with post_model=<this dir>, or use cli/synthesize "
+                "--post_model")
+        self.is_integrate = hp.architecture == "text-mel-mel"
+        if self.is_integrate and post_model is not None:
+            raise ValueError(
+                "text-mel-mel snapshots carry their post-model inside "
+                "the joint checkpoint; drop post_model=")
+        if hp.gst and ref_mel is None:
+            raise ValueError(
+                "GST models need a style reference per session: pass "
+                "ref_mel=<path to a reference mel .npy> "
+                "(transformer.py:96-101 eval semantics)")
         self.hp = hp
         self.batch_size = int(batch_size)
         self.frames_per_phone = int(frames_per_phone)
@@ -75,7 +106,8 @@ class TTSEngine:
             # same wall time as b=1 (docs/PERF_NOTES.md "Inference")
             model, state = init_transformer_state(hp, rng)
         else:
-            model, state = init_fastspeech2_state(hp, rng)
+            model, state = init_fastspeech2_state(
+                hp, rng, enable_post_model=self.is_integrate)
         self.model = model
         # full restore: BatchNorm running stats (conformer/GST) must be
         # the trained ones, not init — see checkpoint.restore_variables
@@ -97,9 +129,43 @@ class TTSEngine:
             self.quantize_stats = quantization_stats(
                 self.variables["params"], qvars["params"])
             self.variables = qvars
-        mean, var = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim).arrays()
+        normalizer = Normalizer(hp.mean_file, hp.var_file, hp.mel_dim)
+        mean, var = normalizer.arrays()
         self._mean = jnp.asarray(mean) if mean is not None else None
         self._var = jnp.asarray(var) if var is not None else None
+
+        # GST: one NORMALIZED style reference for the serving session
+        # (the reference's test path loads one mel and conditions every
+        # utterance on it — transformer.py:96-101)
+        self._ref_mel = None
+        if ref_mel is not None:
+            if not hp.gst:
+                raise ValueError("ref_mel given but hp.gst is off")
+            ref_np = normalizer(np.load(ref_mel).astype(np.float32))
+            self._ref_mel = jnp.asarray(ref_np)[None]
+
+        # FS2 + mel-mel student: the refinement runs INSIDE the jitted
+        # synthesis program (synthesize_fastspeech2_post). The student
+        # is built from ITS OWN snapshot hparams (version /
+        # n_layer_post_model / phone_embed travel with the post ckpt),
+        # not the teacher's.
+        self._post = None
+        if post_model is not None:
+            if self.is_ar:
+                raise ValueError(
+                    "post_model refines FastSpeech2 outputs; the AR "
+                    "families have their own causal postnet")
+            from transformer_tts_tpu.train.post_trainers import (
+                init_post_state)
+            p_dir = post_model
+            if os.path.basename(p_dir).startswith(("epoch_", "average_")):
+                p_dir = os.path.dirname(p_dir)
+            p_hp = load_hparams(os.path.join(p_dir, "hparams.py"))
+            pmodel, p_state = init_post_state(p_hp, rng, self.model)
+            p_params = ckpt.restore_params(post_model, p_state.params)
+            self._post = (pmodel, {"params": p_params,
+                                   "batch_stats": p_state.batch_stats,
+                                   "vq_stats": p_state.vq_stats}, p_hp)
 
         # optional neural vocoder: requests get waveforms, not just mels.
         # Architecture comes from hp.vocoder_* (snapshot alongside the
@@ -206,7 +272,8 @@ class TTSEngine:
                     speaker: Optional[np.ndarray] = None):
         import jax.numpy as jnp
         from transformer_tts_tpu.infer.synthesize import (
-            synthesize_fastspeech2, synthesize_transformer_tts)
+            synthesize_fastspeech2, synthesize_fastspeech2_post,
+            synthesize_integrate, synthesize_transformer_tts)
         spk = None
         if self.hp.is_multi_speaker and speaker is not None:
             spk = jnp.asarray(speaker)
@@ -214,10 +281,25 @@ class TTSEngine:
         if self.is_ar:
             mel, mel_len = synthesize_transformer_tts(
                 self.model, self.variables, jnp.asarray(text),
-                jnp.asarray(pos_text), spk, mean=self._mean,
-                var=self._var,
+                jnp.asarray(pos_text), spk, ref_mel=self._ref_mel,
+                mean=self._mean, var=self._var,
                 max_steps=max_frames // (self.hp.reduction_rate or 1))
             return mel, mel_len, None
+        if self.is_integrate:
+            refined, _, mel_len, durations = synthesize_integrate(
+                self.model, self.variables, jnp.asarray(text),
+                jnp.asarray(pos_text), max_frames,
+                spk_emb=spk, mean=self._mean, var=self._var)
+            return refined, mel_len, durations
+        if self._post is not None:
+            pmodel, pvars, p_hp = self._post
+            return synthesize_fastspeech2_post(
+                self.model, pmodel, self.variables, pvars,
+                jnp.asarray(text), jnp.asarray(pos_text), max_frames,
+                version=p_hp.version,
+                postnet_pred=self.hp.postnet_pred,
+                mel_dim_post=p_hp.mel_dim_post,
+                spk_emb=spk, mean=self._mean, var=self._var)
         mel, mel_len, durations = synthesize_fastspeech2(
             self.model, self.variables, jnp.asarray(text),
             jnp.asarray(pos_text), max_frames,
@@ -307,6 +389,11 @@ class TTSEngine:
         import jax.numpy as jnp
         from transformer_tts_tpu.infer.streaming import (
             ARStream, StreamingVocoder)
+        if self.is_integrate or self._post is not None:
+            raise NotImplementedError(
+                "streaming does not run the mel-mel refinement stage "
+                "(it needs the full mel); use synthesize() for "
+                "post-processed models")
         ids = np.asarray(list(text), np.int32)
         bucket = self._bucket_of(len(ids))
         txt = np.zeros((1, bucket), np.int32)
@@ -345,6 +432,7 @@ class TTSEngine:
         r = self.hp.reduction_rate or 1
         stream = ARStream(
             self.model, self.variables, txt, pos, spk,
+            ref_mel=self._ref_mel,
             mean=self._mean, var=self._var, max_steps=max_frames // r,
             segment_steps=segment_steps)
         session = None
@@ -387,7 +475,8 @@ class TTSEngine:
         import jax.numpy as jnp
         from jax import export as jexport
         from transformer_tts_tpu.infer.synthesize import (
-            synthesize_fastspeech2, synthesize_transformer_tts)
+            synthesize_fastspeech2, synthesize_fastspeech2_post,
+            synthesize_integrate, synthesize_transformer_tts)
 
         os.makedirs(out_dir, exist_ok=True)
         manifest = {"model": self.hp.model, "mel_dim": self.hp.mel_dim,
@@ -395,16 +484,35 @@ class TTSEngine:
                     "speaker_input": (
                         None if not self.hp.is_multi_speaker else
                         ("x_vector" if self.is_xvector else "speaker_id"))}
-        stem = "transformer_tts" if self.is_ar else "fastspeech2"
+        stem = "transformer_tts" if self.is_ar else (
+            "integrate" if self.is_integrate else (
+                "fastspeech2_post" if self._post is not None
+                else "fastspeech2"))
         for bucket in self.text_buckets:
             max_frames = self.max_frames_for(bucket)
 
             def fn(text, pos_text, spk=None, _mf=max_frames):
                 if self.is_ar:
+                    # a GST engine's style reference is baked into the
+                    # artifact as a constant (one style per export)
                     return synthesize_transformer_tts(
                         self.model, self.variables, text, pos_text, spk,
+                        ref_mel=self._ref_mel,
                         mean=self._mean, var=self._var,
                         max_steps=_mf // (self.hp.reduction_rate or 1))
+                if self.is_integrate:
+                    refined, _, mel_len, durations = synthesize_integrate(
+                        self.model, self.variables, text, pos_text, _mf,
+                        spk_emb=spk, mean=self._mean, var=self._var)
+                    return refined, mel_len, durations
+                if self._post is not None:
+                    pmodel, pvars, p_hp = self._post
+                    return synthesize_fastspeech2_post(
+                        self.model, pmodel, self.variables, pvars,
+                        text, pos_text, _mf, version=p_hp.version,
+                        postnet_pred=self.hp.postnet_pred,
+                        mel_dim_post=p_hp.mel_dim_post,
+                        spk_emb=spk, mean=self._mean, var=self._var)
                 return synthesize_fastspeech2(
                     self.model, self.variables, text, pos_text, _mf,
                     spk, mean=self._mean, var=self._var)

@@ -131,6 +131,58 @@ def synthesize_integrate(
     return refined, prenet, out.mel_len, durations.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "model", "post_model", "max_frames", "version", "postnet_pred",
+    "mel_dim_post"))
+def synthesize_fastspeech2_post(
+    model: FastSpeech2,
+    post_model,
+    variables,
+    post_variables,
+    text: jnp.ndarray,
+    pos_text: jnp.ndarray,
+    max_frames: int,
+    *,
+    version: int,
+    postnet_pred: bool,
+    mel_dim_post: int,
+    spk_emb: Optional[jnp.ndarray] = None,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+):
+    """FS2 forward + PostLowEnergy refinement as ONE jitted program.
+
+    The serving-path equivalent of ``cli/synthesize --post_model``
+    (reference ``test_fastspeech2_dev.py:207-227``): versions 3/5/6 add
+    the student output as a residual on mel dims ``:mel_dim_post``,
+    the others replace those dims. Returns (mel, mel_len, durations).
+    """
+    from transformer_tts_tpu.infer.quantize import maybe_dequantize_variables
+    variables = maybe_dequantize_variables(variables)
+    src_mask = pad_mask(pos_text)
+    out = model.apply(variables, text, src_mask, max_frames,
+                      spk_emb=spk_emb, train=False)
+    input_mel = out.mel_post if postnet_pred else out.mel_pre
+    if version in (1, 5):
+        post = post_model.apply(post_variables, input_mel, out.mel_mask,
+                                train=False)
+    else:
+        phone = (out.text_dur_predicted if version in (4, 6)
+                 else out.variance_adaptor_output)
+        post, _, _ = post_model.apply(post_variables, input_mel,
+                                      out.mel_mask, phone, train=False)
+    if version in (3, 5, 6):          # residual (:207-227)
+        refined = input_mel.at[:, :, :mel_dim_post].add(post)
+    else:                             # replace dims 0:mel_dim_post
+        refined = input_mel.at[:, :, :mel_dim_post].set(post)
+    if mean is not None and var is not None:
+        refined = denormalize(refined, mean, var)
+    durations = jnp.round(
+        jnp.exp(out.log_duration) - model.log_offset).clip(0)
+    durations = jnp.where(src_mask[:, 0, :], durations, 0)
+    return refined, out.mel_len, durations.astype(jnp.int32)
+
+
 def _ar_check(model):
     """Shared preconditions for the KV-cached incremental decode."""
     if model.decoder_type.lower() == "tacotron2":

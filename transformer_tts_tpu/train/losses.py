@@ -169,10 +169,26 @@ def fastspeech2_loss(
         else None
     vmask = mel_mask[:, 0, :] if (masked and mel_mask is not None) else None
     smask = src_mask[:, 0, :] if (masked and src_mask is not None) else None
+    # Standardized mode MUST mask its L1 over valid frames: the raw-unit
+    # targets pad with 0, which standardizes to the constant -mean/std at
+    # every padded position — with frame buckets much longer than the
+    # utterances, that constant dominates the unmasked average and the
+    # loss plateaus at ~|mean|/std regardless of predictor quality
+    # (measured: loss_energy stuck at 2.1 for 4000 steps on the
+    # full-pipeline corpus). The unmasked average is reference parity
+    # only for raw units, where pad target 0 ~= the predictor's natural
+    # output on padded input.
+    f0_vmask, energy_vmask = vmask, vmask
     if f0 is not None and f0_stats is not None:
         f0 = (f0 - f0_stats[0]) / f0_stats[1]
+        if mel_mask is not None:
+            f0_vmask = mel_mask[:, 0, :]
+            f0 = jnp.where(f0_vmask, f0, 0.0)
     if energy is not None and energy_stats is not None:
         energy = (energy - energy_stats[0]) / energy_stats[1]
+        if mel_mask is not None:
+            energy_vmask = mel_mask[:, 0, :]
+            energy = jnp.where(energy_vmask, energy, 0.0)
 
     logs = {}
     if output_type == "softmax":
@@ -191,11 +207,11 @@ def fastspeech2_loss(
         logs["loss_duration"] = d_loss
         total = total + d_loss
         if out.pitch is not None and f0 is not None:
-            f0_loss = l1(out.pitch, f0, vmask)
+            f0_loss = l1(out.pitch, f0, f0_vmask)
             logs["loss_f0"] = f0_loss
             total = total + f0_loss
         if out.energy is not None and energy is not None:
-            e_loss = l1(out.energy, energy, vmask)
+            e_loss = l1(out.energy, energy, energy_vmask)
             logs["loss_energy"] = e_loss
             total = total + e_loss
         logs["loss_total"] = total
@@ -223,11 +239,11 @@ def fastspeech2_loss(
     total = total + d_loss
 
     if out.pitch is not None and f0 is not None:
-        f0_loss = l1(out.pitch, f0, vmask)
+        f0_loss = l1(out.pitch, f0, f0_vmask)
         logs["loss_f0"] = f0_loss
         total = total + f0_loss
     if out.energy is not None and energy is not None:
-        e_loss = l1(out.energy, energy, vmask)
+        e_loss = l1(out.energy, energy, energy_vmask)
         logs["loss_energy"] = e_loss
         total = total + e_loss
 
