@@ -381,3 +381,39 @@ def test_accent_embedding_cli_path(corpus, tmp_path):
                     "--save", out_dir])
     mel = np.load(os.path.join(out_dir, "0.npy"))
     assert mel.dtype == np.float32 and np.isfinite(mel).all()
+
+
+def test_melmel_pregen_cli_path(corpus, tmp_path):
+    """Pregenerated-corpus mel-mel training (hp.teacher_suffix): the
+    reference's generate_teacher_forcing.py -> train_fastspeech2_dev.py
+    workflow — cli/teacher_forcing --save_phone writes the corpus once,
+    the student trains with NO teacher restore/forward in the step."""
+    import numpy as np
+    from transformer_tts_tpu.cli import synthesize as cli_synth
+    from transformer_tts_tpu.cli import teacher_forcing as cli_tf
+    from transformer_tts_tpu.cli import train as cli_train
+
+    hp_path, save_dir = write_hp(tmp_path, corpus, max_epoch=1)
+    cli_train.main(["--hp_file", hp_path])
+
+    cli_tf.main(["--load_name", save_dir, "--save_phone"])
+    assert os.path.exists(str(corpus / "utt0_gen.npy"))
+    assert os.path.exists(str(corpus / "utt0_gen_phone.npy"))
+    phone = np.load(str(corpus / "utt0_gen_phone.npy"))
+    gen = np.load(str(corpus / "utt0_gen.npy"))
+    assert phone.shape[0] == gen.shape[0] and phone.ndim == 2
+
+    post_dir = str(tmp_path / "post_pregen")
+    hp2, _ = write_hp(tmp_path, corpus, max_epoch=1,
+                      architecture="mel-mel", version=3, phone_embed=True,
+                      n_layer_post_model=1, teacher_suffix="_gen",
+                      save_dir=post_dir)
+    cli_train.main(["--hp_file", hp2])
+    assert os.path.isdir(os.path.join(post_dir, "epoch_1"))
+
+    out_dir = str(tmp_path / "gen_post_pregen")
+    cli_synth.main(["--load_name", save_dir, "--save", out_dir,
+                    "--post_model", post_dir, "--max_frames", "64",
+                    "--hp_file", hp2])
+    mel = np.load(os.path.join(out_dir, "0.npy"))
+    assert np.isfinite(mel).all()

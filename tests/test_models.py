@@ -553,3 +553,74 @@ def test_standardized_variance_loss_ignores_padding():
     _, logs2 = step_fn(state, b2, rng)
     assert float(logs1["loss_f0"]) == float(logs2["loss_f0"]), (
         logs1["loss_f0"], logs2["loss_f0"])
+
+
+def test_guided_attention_loss_prefers_diagonal():
+    """Diagonal attention is nearly free; attention parked far off the
+    t/T ~ l/L diagonal is taxed (Tachibana et al. 2017 §3.3 prior,
+    hp.guided_attention_weight)."""
+    from transformer_tts_tpu.train.trainer import _guided_attention_loss
+    b, t_q, l = 2, 16, 8
+    diag = np.zeros((b, t_q, l), np.float32)
+    for t in range(t_q):
+        diag[:, t, min(t * l // t_q, l - 1)] = 1.0
+    anti = np.zeros((b, t_q, l), np.float32)
+    anti[:, :, 0] = 1.0                      # all mass on one phone
+    t_len = jnp.full((b,), l, jnp.int32)
+    q_len = jnp.full((b,), t_q, jnp.int32)
+    lo = float(_guided_attention_loss(jnp.asarray(diag), t_len, q_len,
+                                      0.3))
+    hi = float(_guided_attention_loss(jnp.asarray(anti), t_len, q_len,
+                                      0.3))
+    assert lo < 0.1 and hi > 3 * lo, (lo, hi)
+    # 5-dim stacked (B, layers, H, T, L) input averages to the same
+    stacked = jnp.asarray(diag)[:, None, None].repeat(2, 1).repeat(3, 2)
+    lo5 = float(_guided_attention_loss(stacked, t_len, q_len, 0.3))
+    np.testing.assert_allclose(lo5, lo, rtol=1e-6)
+
+
+def test_transformer_train_step_guided_attention():
+    """GA wiring: the loss appears in logs and a few steps visibly
+    raise the cross-attention diagonal mass vs the same seed without."""
+    from transformer_tts_tpu.train.trainer import (
+        init_transformer_state, make_transformer_train_step)
+    from transformer_tts_tpu.ops.masks import create_masks
+
+    def diag_mass(hp):
+        model, state = init_transformer_state(hp, jax.random.PRNGKey(0))
+        step = make_transformer_train_step(model, hp, donate=False)
+        batch = make_batch(0, mel_dim=hp.mel_dim)
+        batch["stop_token"] = jnp.zeros_like(
+            batch["pos_mel"], jnp.float32).at[:, -1].set(1.0)
+        logs = None
+        for i in range(12):
+            state, logs = step(state, batch, jax.random.PRNGKey(1))
+        # measure: teacher-forced cross-attention near-diagonal mass
+        r = model.reduction_rate
+        mel_input = batch["mel"][:, :-r:r, :]
+        pos_in = batch["pos_mel"][:, :-r:r]
+        src_mask, trg_mask = create_masks(batch["pos_text"], pos_in,
+                                          model="transformer")
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["text"], mel_input, src_mask, trg_mask, train=False,
+            collect_attn=True)
+        a = np.asarray(out.attn_dec_enc, np.float32).mean(axis=(0, 1, 2))
+        t_q, l = a.shape
+        band = np.zeros_like(a)
+        for t in range(t_q):
+            c = t * l / t_q
+            for j in range(l):
+                if abs(j - c) <= 1.5:
+                    band[t, j] = 1.0
+        return float((a * band).sum() / a.sum()), logs
+
+    hp_ga = tiny_hp(model="Transformer", reduction_rate=2,
+                    ff_conv_kernel_size_decoder=1,
+                    guided_attention_weight=5.0)
+    hp_off = tiny_hp(model="Transformer", reduction_rate=2,
+                     ff_conv_kernel_size_decoder=1)
+    m_ga, logs_ga = diag_mass(hp_ga)
+    m_off, _ = diag_mass(hp_off)
+    assert "loss_guided_attention" in logs_ga
+    assert m_ga > m_off, (m_ga, m_off)

@@ -23,6 +23,12 @@ def main(argv=None):
     parser.add_argument("--suffix", type=str, default="_gen")
     parser.add_argument("--out_dir", type=str, default=None,
                         help="write here instead of next to sources")
+    parser.add_argument("--save_phone", action="store_true",
+                        help="also save per-frame phone features as "
+                             "{stem}{suffix}_phone.npy — required by "
+                             "mel-mel student versions outside (1, 5) "
+                             "when training from the pregenerated "
+                             "corpus (hp.teacher_suffix)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -74,6 +80,14 @@ def main(argv=None):
         else:
             dest = src.replace(".npy", args.suffix + ".npy")
         np.save(dest, mel)
+        if args.save_phone:
+            # the phone feature the student consumes at this version
+            # (train_fastspeech2_dev.py: text_dur_predicted for v4/6,
+            # the variance-adaptor output otherwise)
+            phone = (out.text_dur_predicted if hp.version in (4, 6)
+                     else out.variance_adaptor_output)
+            np.save(dest.replace(".npy", "_phone.npy"),
+                    np.asarray(phone[0, :n], np.float32))
         print(f"save {dest}")
         sys.stdout.flush()
 

@@ -118,9 +118,18 @@ def main(argv=None):
     elif arch == "text-mel" and is_ar:
         model, state = init_transformer_state(hp, rng)
         step_fn = make_transformer_train_step(model, hp)
+    elif arch == "mel-mel" and hp.teacher_suffix:
+        # pregenerated teacher corpus (cli/teacher_forcing): no teacher
+        # restore, no teacher forward in the step — the reference's
+        # generate_teacher_forcing.py -> train_fastspeech2_dev.py flow
+        from transformer_tts_tpu.train.post_trainers import (
+            make_meltomel_pregen_train_step)
+        model, state = init_post_state(hp, rng, None)
+        step_fn = make_meltomel_pregen_train_step(model, hp)
     elif arch == "mel-mel":
         assert hp.pretrain_model is not None, \
-            "mel-mel training needs hp.pretrain_model (frozen teacher)"
+            "mel-mel training needs hp.pretrain_model (frozen teacher) " \
+            "or hp.teacher_suffix (pregenerated corpus)"
         teacher = build_fastspeech2(hp)
         _, t_state = init_fastspeech2_state(hp, rng)
         # the teacher runs frozen at eval — its BatchNorm running stats

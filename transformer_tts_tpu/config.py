@@ -51,6 +51,12 @@ _DEFAULTS: Dict[str, Any] = {
     "loaded_epoch": None,
     "loaded_dir": None,
     "pretrain_model": None,
+    # mel-mel: train the student from a PREGENERATED teacher corpus
+    # (cli/teacher_forcing --suffix <this>, the reference's actual
+    # generate_teacher_forcing.py -> train_fastspeech2_dev.py workflow)
+    # instead of re-running the frozen teacher every step. ~2x the
+    # mel-mel step throughput (no teacher forward in the step).
+    "teacher_suffix": None,
     # --- optimizer ---------------------------------------------------------
     "optimizer": "Noam",              # Noam | RAdam | AdamW
     "warmup_step": 4000,
@@ -74,6 +80,15 @@ _DEFAULTS: Dict[str, Any] = {
     # defaults (lecun_normal kernels, zero bias), a documented deviation
     # (PARITY.md §Deliberate deviations).
     "reference_init": True,
+    # Guided-attention loss on the AR teacher's cross-attention
+    # (Tachibana et al. 2017 §3.3 diagonal prior; beyond-parity opt-in).
+    # Weight 0 = off (reference behavior). Useful when the corpus lets
+    # teacher-forced training solve next-frame prediction without
+    # localized attention (the duration-extraction bootstrap then has
+    # nothing to extract — measured on egs/full_pipeline's glide
+    # corpus: oracle best-head duration error 2.8 frames/phone).
+    "guided_attention_weight": 0.0,
+    "guided_attention_sigma": 0.3,
     # dropout-mask PRNG. 'rbg' halves the measured train-step cost vs
     # JAX's default threefry (attention-prob dropout masks dominate the
     # step: 84 of 154 ms at 32x1024 frames — scripts/profile_train.py);

@@ -124,6 +124,18 @@ def collate(
             np.int32)
         out["stop_token"] = stop
 
+    # pregenerated teacher corpus (mel-mel, hp.teacher_suffix): per-frame
+    # arrays padded to the same mel bucket as the target
+    for key in ("teacher_mel", "teacher_phone"):
+        if key in samples[0]:
+            dim = samples[0][key].shape[1]
+            pad = mel_pad if key == "teacher_mel" else 0.0
+            arr = np.full((b, mel_len, dim), pad, np.float32)
+            for i, s in enumerate(samples):
+                v = s[key][:mel_len]
+                arr[i, : len(v)] = v
+            out[key] = arr
+
     for key, pad_val, dtype in (("alignment", 0, np.int32),
                                 ("f0", 0.0, np.float32),
                                 ("energy", 0.0, np.float32)):

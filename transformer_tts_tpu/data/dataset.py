@@ -160,6 +160,18 @@ class TTSDataset:
             sample["mel"] = mel.astype(np.float32)
             sample["mel_length"] = mel_length
 
+        if hp.architecture == "mel-mel" and hp.teacher_suffix:
+            # pregenerated teacher corpus (cli/teacher_forcing): the
+            # student input mel (normalized like the target) + the
+            # optional per-frame phone features versions != (1,5) need
+            sample["teacher_mel"] = self._load_mel(
+                mel_name.replace(".npy", hp.teacher_suffix + ".npy"))
+            phone_path = mel_name.replace(
+                ".npy", hp.teacher_suffix + "_phone.npy")
+            if os.path.exists(phone_path):
+                sample["teacher_phone"] = np.load(phone_path).astype(
+                    np.float32)
+
         tail = hp.tail_alignment + ".npy"
         if self.alignment_pred:
             sample["alignment"] = np.load(

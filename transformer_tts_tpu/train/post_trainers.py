@@ -171,6 +171,90 @@ def make_meltomel_train_step(teacher: FastSpeech2, teacher_variables,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_meltomel_pregen_train_step(student, hp: HParams, *,
+                                    donate: bool = True):
+    """Mel-mel step on a PREGENERATED teacher corpus (hp.teacher_suffix).
+
+    The reference's actual intended workflow:
+    ``generate_teacher_forcing.py:131-177`` writes the teacher-forced
+    mels to disk once; ``train_fastspeech2_dev.py`` then trains the
+    student from the saved corpus. The round-3 trainer re-ran the frozen
+    teacher forward every step (also valid parity with
+    train_fastspeech2_dev.py:140-147's on-the-fly mode) — this variant
+    removes that forward from the step (~2x step throughput; the
+    teacher's cost is paid once by ``cli/teacher_forcing``).
+
+    ``batch`` carries ``teacher_mel`` (normalized, padded like ``mel``)
+    and, for student versions outside (1, 5), ``teacher_phone``
+    (per-frame phone features saved by ``--save_phone``).
+    """
+    residual = hp.version in (3, 5, 6)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_mask, rng_drop = jax.random.split(rng)
+        _, mel_mask = create_masks(
+            batch["pos_text"], batch["pos_mel"], model="fastspeech2")
+
+        input_meltomel = batch["teacher_mel"]
+        res_mel = input_meltomel
+        phone_feature = batch.get("teacher_phone")
+        if hp.semantic_mask:
+            masked_mel, masked_phone, _ = semantic_mask(
+                input_meltomel,
+                phone_feature if hp.semantic_mask_phone else None,
+                batch["alignment"], hp.mask_probability, rng_mask)
+            input_meltomel = masked_mel
+            if masked_phone is not None:
+                phone_feature = masked_phone
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats,
+                         "vq_stats": state.vq_stats}
+            if hp.version in (1, 5):
+                outputs, mutated = student.apply(
+                    variables, input_meltomel, mel_mask, train=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats", "vq_stats"])
+                diff = None
+            else:
+                if phone_feature is None:
+                    raise ValueError(
+                        f"student version {hp.version} needs phone "
+                        "features: regenerate the corpus with "
+                        "cli/teacher_forcing --save_phone")
+                (outputs, _, diff), mutated = student.apply(
+                    variables, input_meltomel, mel_mask, phone_feature,
+                    batch.get("spk_emb_post"), train=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats", "vq_stats"])
+            if residual:
+                outputs = outputs + res_mel
+            target = batch["mel"][:, :, : hp.mel_dim_post]
+            loss = L.l1(outputs, target)
+            logs = {"loss_post": loss}
+            if hp.vq_code and diff is not None:
+                logs["loss_vq"] = diff
+                loss = loss + diff
+            logs["loss_total"] = loss
+            return loss, (logs, mutated)
+
+        (loss, (logs, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            vq_stats=mutated.get("vq_stats", state.vq_stats))
+        logs["grad_norm"] = optax.global_norm(grads)
+        logs["skipped_nan"] = ~finite
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_integrate_train_step(model: FastSpeech2, hp: HParams, *,
                               donate: bool = True):
     """Joint text-mel-mel step (train_fastspeech2_dev_integrate_train.py).

@@ -329,6 +329,31 @@ def init_transformer_state(hp: HParams, rng: jax.Array, *,
     return model, state
 
 
+def _guided_attention_loss(attn, text_len, query_len, sigma):
+    """Diagonal attention prior (Tachibana et al. 2017 §3.3).
+
+    ``attn``: (B, layers, H, T_q, L) stacked cross-attention (averaged
+    over layers/heads — by linearity this equals the per-head penalty up
+    to a constant) or (B, T_q, L). Penalty per valid (t, l):
+    ``A[t, l] * (1 - exp(-((l/L - t/T)^2) / (2 sigma^2)))`` — mass far
+    from the t/T ~ l/L diagonal is taxed, localized monotonic attention
+    is nearly free.
+    """
+    a = attn.astype(jnp.float32)
+    if a.ndim == 5:
+        a = a.mean(axis=(1, 2))
+    t_q, l = a.shape[-2], a.shape[-1]
+    t_idx = (jnp.arange(t_q) + 1.0)[None, :, None]
+    l_idx = (jnp.arange(l) + 1.0)[None, None, :]
+    ql = jnp.maximum(query_len.astype(jnp.float32), 1.0)[:, None, None]
+    tl = jnp.maximum(text_len.astype(jnp.float32), 1.0)[:, None, None]
+    w = 1.0 - jnp.exp(-((l_idx / tl - t_idx / ql) ** 2)
+                      / (2.0 * sigma ** 2))
+    valid = (t_idx <= ql) & (l_idx <= tl)
+    return (jnp.sum(a * w * valid)
+            / jnp.maximum(jnp.sum(valid), 1.0))
+
+
 def make_transformer_train_step(model: TransformerTTS, hp: HParams,
                                 *, donate: bool = True):
     """AR teacher-forcing train step (train.py:156-267).
@@ -336,8 +361,13 @@ def make_transformer_train_step(model: TransformerTTS, hp: HParams,
     ``batch``: text, pos_text, mel (B, T, mel) with the go-frame prepended
     and T a multiple of r (data layer contract), pos_mel, stop_token
     (B, T) with 1.0 beyond mel_length.
+
+    ``hp.guided_attention_weight > 0`` adds the diagonal attention prior
+    on the cross-attention maps (beyond-parity opt-in — see config.py).
     """
     r = model.reduction_rate
+    ga_w = float(hp.guided_attention_weight or 0.0)
+    ga_sigma = float(hp.guided_attention_sigma)
 
     is_taco = model.decoder_type.lower() == "tacotron2"
 
@@ -369,7 +399,7 @@ def make_transformer_train_step(model: TransformerTTS, hp: HParams,
             out, mutated = model.apply(
                 variables, batch["text"], mel_input, src_mask, trg_mask,
                 batch.get("spk_emb"), train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+                collect_attn=ga_w > 0, mutable=["batch_stats"])
             t = out.mel_pre.shape[1]
             mel_pre = out.mel_pre.reshape(b, t * r, mel_dim)
             mel_post = out.mel_post.reshape(b, t * r, mel_dim)
@@ -378,6 +408,14 @@ def make_transformer_train_step(model: TransformerTTS, hp: HParams,
                 mel_pre, mel_post, stop,
                 mel[:, r:, :], batch["stop_token"][:, r:],
                 positive_weight=hp.positive_weight)
+            if ga_w > 0:
+                q_len = (batch["pos_mel"] != 0).sum(axis=1) // r
+                t_len = (batch["pos_text"] != 0).sum(axis=1)
+                ga = _guided_attention_loss(out.attn_dec_enc, t_len,
+                                            q_len, ga_sigma)
+                logs["loss_guided_attention"] = ga
+                total = total + ga_w * ga
+                logs["loss_total"] = total
             return total, (logs, mutated)
 
         (loss, (logs, mutated)), grads = jax.value_and_grad(
