@@ -131,7 +131,16 @@ def phone_duration(p: int) -> int:
 
 
 def build_audio_corpus(workdir: str, n_utts: int = 64, seed: int = 0,
-                       min_phones: int = 6, max_phones: int = 14):
+                       min_phones: int = 6, max_phones: int = 14,
+                       duration_jitter: int = 1):
+    """``duration_jitter``: per-OCCURRENCE +-jitter on each phone's
+    base duration (like real speech, where duration is contextual, not
+    a function of phone identity). Load-bearing for the AR duration
+    bootstrap: with deterministic per-phone durations the decoder can
+    time an utterance without consulting the text at all, so its
+    cross-attention never needs to encode the true alignment (measured:
+    corr(true, extracted) = -0.07 even with a guided-attention teacher
+    whose free-running mel-L1 was 0.11)."""
     rs = np.random.RandomState(seed)
     wav_dir = os.path.join(workdir, "wavs")
     os.makedirs(wav_dir, exist_ok=True)
@@ -139,6 +148,10 @@ def build_audio_corpus(workdir: str, n_utts: int = 64, seed: int = 0,
     for i in range(n_utts):
         phones = rs.randint(1, VOCAB, rs.randint(min_phones, max_phones))
         d = np.asarray([phone_duration(int(p)) for p in phones], np.int32)
+        if duration_jitter:
+            d = np.maximum(
+                d + rs.randint(-duration_jitter, duration_jitter + 1,
+                               size=d.shape), 2).astype(np.int32)
         audio = np.concatenate([phone_wave(int(p), int(di))
                                 for p, di in zip(phones, d)])
         path = os.path.join(wav_dir, f"utt{i}.wav")
@@ -336,7 +349,12 @@ def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra,
     from transformer_tts_tpu.cli import train as cli_train
     ar_dir = os.path.join(workdir, "ckpt_ar")
     cfg = dict(
-        architecture="text-mel", model="Transformer", reduction_rate=2,
+        # reduction_rate=1: the free-running AR tracks the corpus far
+        # better feeding back the true previous frame than the
+        # first-of-group at r=2 (measured: free-running mel-L1 0.11 vs
+        # 1.66, MCD 8.9 vs 15.8 at 1000 epochs) and the alignment
+        # resolution is per-frame instead of per-2-frames
+        architecture="text-mel", model="Transformer", reduction_rate=1,
         vocab_size=VOCAB, mel_dim=MEL_DIM,
         d_model_encoder=384, d_model_decoder=384,
         n_layer_encoder=6, n_layer_decoder=6,
@@ -345,6 +363,13 @@ def teacher_durations(workdir: str, feat_dir: str, lines, tiny_extra,
         batch_size=16, max_epoch=ar_epochs, save_per_epoch=ar_epochs,
         warmup_step=1000, warmup_factor=1.0, amp=True,
         positive_weight=5.0,
+        # diagonal attention prior (beyond-parity opt-in, config.py):
+        # teacher-forced AR training on this corpus localizes nothing
+        # without it (the input frame leaks position-within-phone) —
+        # measured: focus 0.39 -> 0.97, monotonicity 0.92 -> 1.0,
+        # coverage 0.48 -> 1.0, extracted-duration error 3.9 -> 1.6
+        # frames/phone, stop-length error 2.6% -> 1.1% at 1000 epochs
+        guided_attention_weight=2.0,
         train_script=os.path.join(feat_dir, "train.txt"),
         test_script=os.path.join(feat_dir, "test.txt"),
         mean_file=os.path.join(feat_dir, "mean.npy"),
@@ -482,6 +507,21 @@ def main(argv=None):
                  n_head_encoder=2, n_head_decoder=2,
                  max_epoch=60) if args.tiny else {},
             ar_epochs=args.ar_epochs)
+        # extraction accuracy vs the corpus's KNOWN true durations —
+        # the direct health metric of the FastSpeech bootstrap
+        derrs, dt_all, de_all = [], [], []
+        for line in lines:
+            stem = os.path.splitext(
+                os.path.basename(line.split("|")[0]))[0]
+            dt = durations[stem]
+            de = np.load(os.path.join(feat_dir,
+                                      f"{stem}_alignment.npy"))
+            derrs.append(float(np.abs(dt - de).mean()))
+            dt_all += dt.tolist()
+            de_all += de.tolist()
+        ar_eval["duration_err_frames"] = round(float(np.mean(derrs)), 3)
+        ar_eval["duration_corr"] = round(
+            float(np.corrcoef(dt_all, de_all)[0, 1]), 3)
     else:
         for line in lines:
             mel_path = line.split("|")[0]

@@ -85,6 +85,12 @@ def main():
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--devices_per_process", type=int, default=4)
+    ap.add_argument("--ckpt_dir", type=str, default=None,
+                    help="after --steps: rank 0 saves epoch 1, every "
+                         "process restores into a FRESH differently-"
+                         "seeded state and continues --resume_steps "
+                         "more (the distributed save->resume path)")
+    ap.add_argument("--resume_steps", type=int, default=2)
     a = ap.parse_args()
 
     # own virtual-device count (strip any inherited forcing first)
@@ -122,6 +128,33 @@ def main():
             {k: v[lo: lo + b_local] for k, v in gb.items()}, mesh)
         for gb in build_global_batches(hp, a.steps)]
     state, logs = run_steps(state, step_fn, arrays_list, hp)
+
+    if a.ckpt_dir:
+        # distributed save -> restore -> continue (cli/train semantics:
+        # rank-0-only save of the host-snapshotted replicated state;
+        # every process restores from local disk and re-replicates)
+        import time
+        from transformer_tts_tpu.train import checkpoint as ckpt
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(a.ckpt_dir, jax.device_get(state), 1)
+        # filesystem barrier: orbax commits the epoch dir atomically
+        path = os.path.join(a.ckpt_dir, "epoch_1")
+        deadline = time.time() + 300
+        while not os.path.isdir(path):
+            if time.time() > deadline:
+                raise TimeoutError("checkpoint never appeared")
+            time.sleep(0.5)
+        # a fresh DIFFERENTLY-seeded state: the continuation below can
+        # only match the in-memory trajectory if restore is faithful
+        _, fresh = init_fastspeech2_state(hp, jax.random.PRNGKey(123))
+        restored, _ = ckpt.restore_checkpoint(a.ckpt_dir, fresh)
+        restored = replicate_global(restored, mesh)
+        resume = [
+            make_global_batch(
+                {k: v[lo: lo + b_local] for k, v in gb.items()}, mesh)
+            for gb in build_global_batches(
+                hp, a.steps + a.resume_steps)[a.steps:]]
+        state, logs = run_steps(restored, step_fn, resume, hp)
 
     result = summarize(state, logs)
     result["process_id"] = a.process_id

@@ -176,3 +176,42 @@ def test_two_process_train_cli(tmp_path):
     # each process logged a step with a finite loss
     for out in outs:
         assert "loss_total=" in out
+
+
+def test_two_process_checkpoint_resume_matches_inmemory(tmp_path):
+    """Distributed save -> restore -> continue equals the continuous
+    in-memory single-process trajectory (r3 verdict stretch #9): rank 0
+    saves after 3 steps, both processes restore into a fresh
+    differently-seeded state (incl. optimizer state) and run 2 more."""
+    port = _free_port()
+    ck = str(tmp_path / "ck")
+    r0, r1 = _launch_workers(port, str(tmp_path), steps=3,
+                             extra=("--ckpt_dir", ck,
+                                    "--resume_steps", "2"))
+    np.testing.assert_allclose(r0["loss_total"], r1["loss_total"],
+                               rtol=1e-6)
+    assert r0["step"] == 5
+
+    import jax
+    from multiproc_worker import (
+        build_global_batches, build_hp, run_steps, summarize)
+    from transformer_tts_tpu.parallel.mesh import (
+        make_global_batch, make_mesh, replicate_global)
+    from transformer_tts_tpu.train.trainer import (
+        init_fastspeech2_state, make_fastspeech2_train_step)
+
+    hp = build_hp()
+    model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    state = replicate_global(state, mesh)
+    step_fn = make_fastspeech2_train_step(model, hp, donate=False)
+    arrays_list = [make_global_batch(gb, mesh)
+                   for gb in build_global_batches(hp, 5)]
+    state, logs = run_steps(state, step_fn, arrays_list, hp)
+    single = summarize(state, logs)
+
+    np.testing.assert_allclose(r0["loss_total"], single["loss_total"],
+                               rtol=2e-5)
+    np.testing.assert_allclose(r0["param_norm"], single["param_norm"],
+                               rtol=2e-5)
+    assert single["step"] == 5
