@@ -155,7 +155,7 @@ def main(argv=None):
         cli_synth.main(["--load_name", save_dir, "--save", gen,
                         "--batch_size", "8", "--ref_mel", ref,
                         "--wav", "--sample_rate", str(SR),
-                        "--hop_length", str(HOP)])
+                        "--hop_length", str(HOP), "--n_fft", str(N_FFT)])
         f0s = [mean_f0(os.path.join(gen, f"{i}.wav"))
                for i in range(8)
                if os.path.exists(os.path.join(gen, f"{i}.wav"))]

@@ -67,6 +67,21 @@ def run_steps(state, step_fn, arrays_list, hp):
     return state, logs
 
 
+def compile_and_sync(step_fn, state, arrays, hp, name):
+    """AOT-compile the step locally, then line every process up at the
+    coordination-service barrier (configurable timeout) before the
+    first Gloo collective executes. Without this, a contended host can
+    skew the per-process compiles past Gloo's fixed ~30 s connect
+    timeout and the whole run dies in context initialization."""
+    import jax
+    from jax._src import distributed
+    rng = jax.random.key(hp.seed + 1, impl=hp.prng_impl)
+    compiled = step_fn.lower(state, arrays, rng).compile()
+    distributed.global_state.client.wait_at_barrier(
+        name, timeout_in_ms=900_000)
+    return compiled
+
+
 def summarize(state, logs):
     import optax
     return {
@@ -127,6 +142,8 @@ def main():
         make_global_batch(
             {k: v[lo: lo + b_local] for k, v in gb.items()}, mesh)
         for gb in build_global_batches(hp, a.steps)]
+    step_fn = compile_and_sync(step_fn, state, arrays_list[0], hp,
+                               "compiled")
     state, logs = run_steps(state, step_fn, arrays_list, hp)
 
     if a.ckpt_dir:
@@ -149,6 +166,10 @@ def main():
         _, fresh = init_fastspeech2_state(hp, jax.random.PRNGKey(123))
         restored, _ = ckpt.restore_checkpoint(a.ckpt_dir, fresh)
         restored = replicate_global(restored, mesh)
+        # line up again: restores can skew under host contention too
+        from jax._src import distributed
+        distributed.global_state.client.wait_at_barrier(
+            "restored", timeout_in_ms=900_000)
         resume = [
             make_global_batch(
                 {k: v[lo: lo + b_local] for k, v in gb.items()}, mesh)

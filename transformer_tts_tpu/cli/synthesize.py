@@ -72,6 +72,10 @@ def main(argv=None):
                              "for --wav output. Implies --wav.")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--hop_length", type=int, default=256)
+    parser.add_argument("--n_fft", type=int, default=1024,
+                        help="FFT size for the Griffin-Lim fallback; "
+                             "set to the analysis n_fft so the mel "
+                             "filterbank inversion matches the features")
     args = parser.parse_args(argv)
 
     import random
@@ -231,7 +235,8 @@ def main(argv=None):
                 _write_wav(os.path.join(args.save, f"{idx}.wav"),
                            mel_np[j, :n], hp, args.sample_rate,
                            args.hop_length, vocoder=vocoder,
-                           buckets=hp.length_buckets)
+                           buckets=hp.length_buckets,
+                           n_fft=args.n_fft)
             print(f"save {out_name} ({n} frames)")
         sys.stdout.flush()
 
@@ -240,7 +245,7 @@ def main(argv=None):
 
 
 def _write_wav(path, mel, hp, sample_rate, hop_length, *, vocoder=None,
-               buckets=()):
+               buckets=(), n_fft=1024):
     """Vocode the de-normalized log-mel (neural generator when given,
     Griffin-Lim fallback) and write a 16-bit WAV."""
     import wave
@@ -260,7 +265,7 @@ def _write_wav(path, mel, hp, sample_rate, hop_length, *, vocoder=None,
             griffin_lim_from_log_mel)
         audio = np.asarray(griffin_lim_from_log_mel(
             jnp.asarray(mel, jnp.float32), sample_rate=sample_rate,
-            n_fft=1024, hop_length=hop_length, n_mels=hp.mel_dim))
+            n_fft=n_fft, hop_length=hop_length, n_mels=hp.mel_dim))
     pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
     with wave.open(path, "wb") as fh:
         fh.setnchannels(1)

@@ -71,7 +71,8 @@ def quantize_tree(params: Dict[str, Any], *, min_size: int = 4096) -> Dict:
     Returns a same-structure dict where each eligible leaf is replaced
     by ``{"q": int8 (leaf.shape), "s": f32 ((1,)*(ndim-1) + (out,))}``.
     Ineligible leaves (non-float, ndim < 2, or size < ``min_size``)
-    pass through untouched.
+    pass through untouched. Scale grouping is per-LAST-axis absmax —
+    see the module docstring for the multi-out-axis caveat.
     """
     def walk(node):
         if isinstance(node, dict):
