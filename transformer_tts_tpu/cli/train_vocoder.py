@@ -19,6 +19,7 @@ Checkpoints: ``vocoder_<k>`` (full GAN state, resumable) every
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -143,7 +144,9 @@ def main(argv=None):
     step_fn = make_vocoder_train_step(gen, disc, hp, mel_cfg,
                                       predicted_mel_inputs=finetune)
 
-    logger = MetricsLogger(hp.log_dir)
+    # log under save_dir like cli/train.py — a bare hp.log_dir would
+    # drop JSONL/TB files into the caller's cwd
+    logger = MetricsLogger(os.path.join(hp.save_dir, hp.log_dir))
     key = jax.random.PRNGKey(hp.seed + 1)
     t0 = time.time()
     prev = None                                  # lag prints one step
