@@ -48,34 +48,46 @@ from egs.full_pipeline.run import (  # noqa: E402
 STYLE_SEMITONES = 4.0                 # +/- global pitch shift per style
 
 
-def build_style_corpus(workdir: str, n_utts: int = 64, seed: int = 0):
-    """Same audio language as egs/full_pipeline, but each utterance is
-    rendered in style 0 (f0 down) or style 1 (f0 up). Pitch shift is
-    realized by shifting every phone id's base f0 — p maps to f0 via
-    110 * 2^(p/16), so a +/-4-semitone style is a +/- (16*4/12) id
-    offset in f0 space, applied inside a wrapped phone_wave."""
+def build_style_corpus(workdir: str, n_texts: int = 32, seed: int = 0):
+    """Same audio language as egs/full_pipeline, but EVERY text is
+    rendered twice — once per style (all phone f0s shifted a global
+    +/- ``STYLE_SEMITONES``). Pitch shift is realized by shifting every
+    phone id's base f0 — p maps to f0 via 110 * 2^(p/16), so a
+    +/-4-semitone style is a +/- (16*4/12) id offset in f0 space,
+    applied inside a wrapped phone_wave.
+
+    Both-styles-per-text is LOAD-BEARING (measured, round 4): a first
+    corpus rendered each text in only one style, which makes style a
+    deterministic function of the text ids on a memorizable 64-utt
+    corpus — the GST pathway then trains as an arbitrary utterance
+    bias, and at synthesis the style transfer came out INVERTED
+    (f0_ratio 0.87 for a true 1.59 at 800 epochs). With two renderings
+    per text the target mel is the only factor that can explain the
+    pitch split, exactly the regime the GST paper assumes."""
     rs = np.random.RandomState(seed)
     wav_dir = os.path.join(workdir, "wavs")
     os.makedirs(wav_dir, exist_ok=True)
     lines, styles = [], {}
     id_shift = 16.0 * STYLE_SEMITONES / 12.0
-    for i in range(n_utts):
+    for i in range(n_texts):
         phones = rs.randint(1, VOCAB, rs.randint(6, 14))
-        style = i % 2
-        shift = id_shift if style else -id_shift
         d = np.asarray([phone_duration(int(p)) for p in phones], np.int32)
-        audio = np.concatenate([
-            phone_wave(float(p) + shift, int(di))
-            for p, di in zip(phones, d)])
-        path = os.path.join(wav_dir, f"utt{i}.wav")
-        with wave.open(path, "wb") as fh:
-            fh.setnchannels(1)
-            fh.setsampwidth(2)
-            fh.setframerate(SR)
-            fh.writeframes(np.clip(audio * 32767, -32767, 32767)
-                           .astype(np.int16).tobytes())
-        styles[f"utt{i}"] = style
-        lines.append(f"{path}|{' '.join(str(int(p)) for p in phones)}")
+        for style in (0, 1):
+            shift = id_shift if style else -id_shift
+            audio = np.concatenate([
+                phone_wave(float(p) + shift, int(di))
+                for p, di in zip(phones, d)])
+            stem = f"utt{i}_s{style}"
+            path = os.path.join(wav_dir, f"{stem}.wav")
+            with wave.open(path, "wb") as fh:
+                fh.setnchannels(1)
+                fh.setsampwidth(2)
+                fh.setframerate(SR)
+                fh.writeframes(np.clip(audio * 32767, -32767, 32767)
+                               .astype(np.int16).tobytes())
+            styles[stem] = style
+            lines.append(
+                f"{path}|{' '.join(str(int(p)) for p in phones)}")
     with open(os.path.join(workdir, "wavs.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return styles
@@ -142,9 +154,10 @@ def main(argv=None):
         fh.write("\n".join(f"{k} = {v!r}" for k, v in cfg.items()) + "\n")
     cli_train.main(["--hp_file", hp_path])
 
-    # style references: one mel of each style, NOT in the test split
-    low = next(k for k, s in styles.items() if s == 0)
-    high = next(k for k, s in styles.items() if s == 1)
+    # style references: one mel of each style, from the LAST text —
+    # the test split is the first lines, so the refs are not in it
+    low = [k for k, s in styles.items() if s == 0][-1]
+    high = [k for k, s in styles.items() if s == 1][-1]
     ref_low = os.path.join(feat_dir, f"{low}.npy")
     ref_high = os.path.join(feat_dir, f"{high}.npy")
 
