@@ -125,6 +125,34 @@ def test_relative_sinusoid_table_matches_reference():
     np.testing.assert_allclose(ours, pe, rtol=1e-5, atol=1e-6)
 
 
+def test_rebuilt_optimizer_is_same_pytree_type():
+    """build_optimizer equality-by-recipe (train/schedule.py
+    RecipeTransform): a TrainState whose optimizer was REBUILT from the
+    same hparams must be the same pytree type as the original, or an
+    AOT-compiled train step rejects a restored-into-fresh state
+    ('input pytree does not match' — the 2-process checkpoint-resume
+    failure mode) and plain jit silently retraces."""
+    import jax
+    from transformer_tts_tpu.train.schedule import build_optimizer
+    a = build_optimizer("noam", 32, warmup_step=10)
+    b = build_optimizer("noam", 32, warmup_step=10)
+    c = build_optimizer("noam", 32, warmup_step=11)
+    assert a == b and hash(a) == hash(b)
+    assert a != c
+    # and at the level that actually bit: two independently-built
+    # TrainStates (fresh optax closures each) must be the SAME pytree
+    # type, since tx is static metadata on the state
+    from transformer_tts_tpu.config import HParams
+    from transformer_tts_tpu.train.trainer import init_fastspeech2_state
+    hp = HParams(d_model_encoder=16, d_model_decoder=16,
+                 n_layer_encoder=1, n_layer_decoder=1, n_head_encoder=2,
+                 n_head_decoder=2, vocab_size=10, mel_dim=4, amp=False)
+    _, s1 = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
+    _, s2 = init_fastspeech2_state(hp, jax.random.PRNGKey(123))
+    assert (jax.tree_util.tree_structure(s1)
+            == jax.tree_util.tree_structure(s2))
+
+
 def test_noam_schedule_matches_reference_formula():
     """get_learning_rate (utils/utils.py:204-215), step starting at 1."""
     d_model, wf, ws = 384, 1.0, 4000

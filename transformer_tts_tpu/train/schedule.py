@@ -118,6 +118,50 @@ def reference_radam(
     return optax.GradientTransformation(init, update)
 
 
+class RecipeTransform:
+    """An optax transform that compares equal by construction recipe.
+
+    ``TrainState`` stores its optimizer as STATIC pytree metadata
+    (``struct.field(pytree_node=False)``); jax decides whether two
+    states are the same pytree type by ``__eq__`` on that metadata. A
+    raw optax transform is a NamedTuple of freshly-created closures, so
+    two transforms built from IDENTICAL hparams compare unequal — an
+    AOT-compiled train step (``.lower().compile()``) then rejects any
+    state whose optimizer was rebuilt ("input pytree does not match",
+    observed in the 2-process checkpoint-resume path where every worker
+    restores into a freshly-initialized state), and plain ``jit``
+    silently retraces. Wrapping with the build recipe restores value
+    equality; ``init``/``update`` delegate unchanged.
+    """
+
+    def __init__(self, tx, recipe: tuple):
+        self._tx = tx
+        self._recipe = recipe
+
+    def init(self, params):
+        return self._tx.init(params)
+
+    def update(self, updates, state, params=None, **extra):
+        return self._tx.update(updates, state, params, **extra)
+
+    @property
+    def inner(self):
+        return self._tx
+
+    def __eq__(self, other):
+        return (type(other) is RecipeTransform
+                and self._recipe == other._recipe)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash(self._recipe)
+
+    def __repr__(self):
+        return f"RecipeTransform{self._recipe!r}"
+
+
 def build_optimizer(
     name: str,
     d_model: int,
@@ -127,6 +171,8 @@ def build_optimizer(
     clip: Optional[float] = 1.0,
     accum_grad: int = 1,
 ) -> optax.GradientTransformation:
+    recipe = ("build_optimizer", name.lower(), d_model, warmup_factor,
+              warmup_step, learning_rate, clip, accum_grad)
     name = name.lower()
     chain = []
     if clip is not None:
@@ -147,7 +193,7 @@ def build_optimizer(
     tx = optax.chain(*chain)
     if accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
-    return tx
+    return RecipeTransform(tx, recipe)
 
 
 def apply_reference_init(params, rng):

@@ -110,9 +110,17 @@ def init_vocoder_state(hp: HParams, rng: jax.Array,
     sched = optax.exponential_decay(
         hp.vocoder_lr, transition_steps=hp.vocoder_lr_decay_steps,
         decay_rate=hp.vocoder_lr_decay)
-    mk = lambda: optax.adamw(sched, b1=hp.vocoder_adam_b1,
-                             b2=hp.vocoder_adam_b2, weight_decay=0.0)
-    g_tx, d_tx = mk(), mk()
+    # RecipeTransform: value-equality for the static tx metadata, so a
+    # state rebuilt from the same hparams (restore-into-fresh) is the
+    # same pytree type as the original (see train/schedule.py)
+    from transformer_tts_tpu.train.schedule import RecipeTransform
+    recipe = ("vocoder_adamw", hp.vocoder_lr, hp.vocoder_lr_decay_steps,
+              hp.vocoder_lr_decay, hp.vocoder_adam_b1, hp.vocoder_adam_b2)
+    mk = lambda role: RecipeTransform(
+        optax.adamw(sched, b1=hp.vocoder_adam_b1,
+                    b2=hp.vocoder_adam_b2, weight_decay=0.0),
+        recipe + (role,))
+    g_tx, d_tx = mk("g"), mk("d")
     return VocoderTrainState(
         step=jnp.zeros((), jnp.int32), g_params=g_params,
         d_params=d_params, g_opt_state=g_tx.init(g_params),
