@@ -30,7 +30,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                   # jax >= 0.4.35 top-level export
+    from jax import shard_map
+    # replication checking kwarg was renamed check_rep -> check_vma when
+    # shard_map was promoted out of jax.experimental
+    _NO_REP_CHECK = {"check_vma": False}
+except ImportError:                    # older jax: experimental home
+    from jax.experimental.shard_map import shard_map
+    _NO_REP_CHECK = {"check_rep": False}
 
 
 def sequence_parallel_attention(
@@ -42,6 +50,7 @@ def sequence_parallel_attention(
     axis: str = "model",
     *,
     sm_scale: Optional[float] = None,
+    causal: bool = False,
     interpret: bool = False,
 ):
     """softmax(QK^T/sqrt(d))V with the sequence dim sharded over ``axis``.
@@ -57,13 +66,24 @@ def sequence_parallel_attention(
     """
     from transformer_tts_tpu.ops.flash_attention import flash_attention
 
+    if causal:
+        # Causality needs each shard's GLOBAL query offset inside the
+        # kernel (local row i is global row rank*T/n + i). Not wired up:
+        # TTS's long-T attention is the non-causal NAR stacks, and the
+        # AR decoder is incremental (never long-T causal). Refuse loudly
+        # rather than silently attend to the future.
+        raise NotImplementedError(
+            "sequence_parallel_attention is non-causal only; the causal "
+            "variant needs per-shard global query offsets in the flash "
+            "kernel (see module docstring)")
+
     seq_spec = P(None, None, axis, None)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, P()),
         out_specs=seq_spec,
-        check_rep=False,
+        **_NO_REP_CHECK,
     )
     def inner(q_s, k_s, v_s, kl):
         # K/V reassemble in sequence order (tiled all-gather over ICI);

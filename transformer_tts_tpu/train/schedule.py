@@ -142,18 +142,30 @@ class RecipeTransform:
         return self._tx.init(params)
 
     def update(self, updates, state, params=None, **extra):
-        return self._tx.update(updates, state, params, **extra)
+        # The wrapped tx is a plain GradientTransformation (chain of
+        # closures / reference_radam) whose update() takes no extra
+        # kwargs — forwarding an empty **extra is fine, but forwarding
+        # actual extra args (the ExtraArgs protocol) would TypeError
+        # deep inside the chain. Fail with a clear message instead.
+        if extra:
+            raise TypeError(
+                "RecipeTransform wraps a plain GradientTransformation; "
+                f"extra update kwargs {sorted(extra)} are unsupported "
+                "(wrap with optax.with_extra_args_support first)")
+        return self._tx.update(updates, state, params)
 
     @property
     def inner(self):
         return self._tx
 
     def __eq__(self, other):
-        return (type(other) is RecipeTransform
-                and self._recipe == other._recipe)
+        if type(other) is not RecipeTransform:
+            return NotImplemented
+        return self._recipe == other._recipe
 
     def __ne__(self, other):
-        return not self.__eq__(other)
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
 
     def __hash__(self):
         return hash(self._recipe)
