@@ -9,14 +9,21 @@ platform via jax.config *before* any backend is initialized.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_SMOKE = os.environ.get("TTS_TPU_SMOKE") == "1"
+
+if not _TPU_SMOKE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    # TTS_TPU_SMOKE=1 keeps the real backend so tests/test_tpu_smoke.py
+    # (the `-m tpu` tier) runs the Pallas kernels non-interpreted on the
+    # actual chip.
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: model-compile-heavy tests re-hit the same
 # executables across runs and across xdist workers (pytest.ini runs the
