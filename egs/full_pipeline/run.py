@@ -485,6 +485,15 @@ def main(argv=None):
                          "-> PostLowEnergy v3 student -> synthesize "
                          "--post_model, scored against the teacher "
                          "alone (train_fastspeech2_dev.py workflow)")
+    ap.add_argument("--post_variance", choices=("target", "predicted"),
+                    default="predicted",
+                    help="teacher_forcing --variance for the student "
+                         "corpus. 'predicted' (default, round 5) trains "
+                         "the student on the SERVING distribution so "
+                         "free-run synthesis improves; 'target' is the "
+                         "reference's exact workflow (round-4 run: "
+                         "improves in-distribution 5.4x but free-run "
+                         "4.5% WORSE — docs/LEARNING_DEMO.md)")
     ap.add_argument("--no-variance", action="store_true",
                     dest="no_variance",
                     help="duration-only variance adaptor (the round-3 "
@@ -634,7 +643,7 @@ def main(argv=None):
         # pregenerated teacher corpus from the averaged checkpoint
         # (generate_teacher_forcing.py:131-177 semantics + phone feats)
         cli_tf.main(["--load_name", os.path.join(save_dir, avg_name),
-                     "--save_phone"])
+                     "--save_phone", "--variance", args.post_variance])
         post_dir = os.path.join(args.workdir, "ckpt_post")
         post_epochs = max(args.max_epoch // 2, 1)
         hp_post_path, _ = write_acoustic_hparams(

@@ -5,6 +5,13 @@ writes ``*_gen.npy`` mels next to the originals — creating the mel-mel
 training corpus for the post-processing line
 (generate_teacher_forcing.py:131-177).
 
+``--variance predicted`` goes beyond the reference: the teacher embeds
+its own pitch/energy predictions instead of the ground-truth targets,
+so the corpus matches the SERVING distribution (cli/synthesize uses
+predicted variance; a student trained on ground-truth-variance teacher
+mels sees near-perfect inputs at train time and systematically worse
+ones at synthesis time — the round-4 free-run regression).
+
 ``python -m transformer_tts_tpu.cli.teacher_forcing --load_name <dir>``
 """
 
@@ -29,6 +36,19 @@ def main(argv=None):
                              "mel-mel student versions outside (1, 5) "
                              "when training from the pregenerated "
                              "corpus (hp.teacher_suffix)")
+    parser.add_argument("--variance", choices=("target", "predicted"),
+                        default="target",
+                        help="pitch/energy fed to the teacher: 'target' "
+                             "= ground truth (reference "
+                             "generate_teacher_forcing.py semantics); "
+                             "'predicted' = the teacher's own "
+                             "predictions, i.e. the SERVING "
+                             "distribution — a student trained on this "
+                             "corpus sees the same teacher errors at "
+                             "train time that it must correct at "
+                             "synthesis time (durations stay "
+                             "ground-truth so the corpus remains "
+                             "frame-aligned with the targets)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -62,6 +82,12 @@ def main(argv=None):
         batch = collate([sample], hp, pad_batch=False)
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray) and v.ndim > 0}
+        if args.variance == "predicted":
+            # drop the targets -> the variance adaptor embeds its OWN
+            # pitch/energy predictions (the inference branch), keeping
+            # ground-truth durations for frame alignment
+            arrays.pop("f0", None)
+            arrays.pop("energy", None)
         out, _ = eval_fn(state, arrays)
         n = int(batch["mel_length"][0])
         # float32 on disk (device mel is bf16 under amp; raw bf16 .npy
