@@ -728,23 +728,32 @@ def main(argv=None):
         summary.update(post_eval)
     print(json.dumps(summary), flush=True)
     if post_eval is not None and not args.tiny:
-        # the mel-mel student refines its teacher IN DISTRIBUTION: the
-        # training L1 collapsed and applying the student to the
-        # teacher-forced mels it trained on beats the raw teacher-forced
-        # error — the reference dev line's own claim
-        # (train_fastspeech2_dev.py trains AND validates on
-        # teacher-forced mels). On FREE-RUN synthesis the student's
-        # input distribution shifts (predicted durations/f0/energy), so
-        # improvement is not guaranteed — measured on the committed run:
-        # in-distribution 0.0728 -> 0.0136 (5.4x better) while free-run
-        # moved 0.6246 -> 0.6527 (4.5% worse). Both are reported; the
-        # free-run bar only guards against a real regression.
+        # the mel-mel student refines its teacher in-distribution (the
+        # reference dev line's own claim — train_fastspeech2_dev.py
+        # trains AND validates on teacher-forced mels), and — with the
+        # SERVING-distribution corpus (--post_variance predicted,
+        # round 5) — improves FREE-RUN synthesis outright. Measured:
+        #   target-variance corpus (r4): in-dist 0.0728 -> 0.0136
+        #     (5.4x) but free-run 0.6246 -> 0.6527 (4.5% WORSE) — the
+        #     student never saw the teacher's predicted-f0/energy
+        #     errors it must correct at synthesis time;
+        #   predicted-variance corpus (r5, default): in-dist
+        #     0.6301 -> 0.078 (8.1x) AND free-run 0.6246 -> 0.1736
+        #     (3.6x better; audio MCD 47.2 -> 30.7, gap to the vocoder
+        #     copy-synthesis floor 0.4356 -> 0.079).
         assert post_eval["post_train_loss_last"] \
             < post_eval["post_train_loss_first"], post_eval
         assert post_eval["post_teacher_forced_mel_l1"] \
             < post_eval["teacher_forced_mel_l1"], post_eval
-        assert post_eval["post_mel_l1"] \
-            < trained_mel["mel_l1"] * 1.15, post_eval
+        if args.post_variance == "predicted":
+            # serving-distribution student: free-run must IMPROVE
+            assert post_eval["post_mel_l1"] \
+                < trained_mel["mel_l1"], post_eval
+        else:
+            # reference exact workflow: in-dist refinement is the
+            # claim; free-run only guarded against a real regression
+            assert post_eval["post_mel_l1"] \
+                < trained_mel["mel_l1"] * 1.15, post_eval
     if var_eval is not None and not args.tiny:
         # the variance predictors learned (standardized-unit L1 curves).
         # Bar is 1.5x, not ->0: the predictor input is length-regulated
