@@ -128,10 +128,15 @@ def main():
                              jnp.sum(g.astype(jnp.float32)) for g in
                              jax.grad(f, argnums=(0, 1, 2))(q, k, v, kl)
                          ).astype(jnp.bfloat16))
-        if "blocks" in modes:
+        if "blocks" in modes or "cblocks" in modes:
             # (block_q, block_k) sweep at the training config
-            # (fwd+bwd, dropout 0.1 — what the 6-layer decoder pays)
-            for bq in (128, 256, 512):
+            # (fwd+bwd, dropout 0.1 — what the 6-layer decoder pays).
+            # "cblocks": causal=True — the DECODER's actual mask; with
+            # causal the kernel runtime-skips fully-future k blocks
+            # (pl.when), so small bk trades skip savings against
+            # running-max rescale traffic.
+            causal = "cblocks" in modes
+            for bq in (128, 256, 512, 1024):
                 for bk in (256, 512, 1024):
                     if bq > t or bk > t:
                         continue
@@ -139,10 +144,11 @@ def main():
                     def loss_b(q, k, v, kl, bq=bq, bk=bk):
                         o = flash_attention(q, k, v, kl, dropout_rate=0.1,
                                             dropout_seed=3, block_q=bq,
-                                            block_k=bk)
+                                            block_k=bk, causal=causal)
                         return jnp.sum(o.astype(jnp.float32))
 
-                    run_pair(f"flash drop bq={bq} bk={bk}",
+                    run_pair(f"flash drop{' causal' if causal else ''} "
+                             f"bq={bq} bk={bk}",
                              lambda q, k, v, kl, f=loss_b: sum(
                                  jnp.sum(g.astype(jnp.float32)) for g in
                                  jax.grad(f, argnums=(0, 1, 2))(q, k, v, kl)

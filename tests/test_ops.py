@@ -258,3 +258,27 @@ def test_apply_reference_init():
     # kaiming std ~ sqrt(2/fan_in), fan_in = 3*2 = 6
     std = np.asarray(new["conv"]["kernel"]).std()
     assert 0.2 < std < 1.2
+
+
+def test_mxu_conv1d_matches_nn_conv():
+    """MXUConv1D (im2col-to-gemm) is a drop-in for nn.Conv: identical
+    param tree and numerics for SAME and explicit causal padding
+    (ops/conv1d.py; kept as a measured building block — see
+    docs/PERF_NOTES.md round-5 in-context A/B)."""
+    import flax.linen as nn
+    from transformer_tts_tpu.ops.conv1d import MXUConv1D
+
+    rs = np.random.RandomState(0)
+    for pad, k in (("SAME", 3), ("SAME", 5), (((4, 0),), 5)):
+        x = jnp.asarray(rs.randn(2, 17, 12).astype(np.float32))
+        ref = nn.Conv(8, (k,), padding=pad)
+        vs = ref.init(jax.random.PRNGKey(0), x)
+        mine = MXUConv1D(features=8, kernel_size=k, padding=pad)
+        y_ref = ref.apply(vs, x)
+        y = mine.apply(vs, x)          # same variables verbatim
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-6)
+        # grads flow through the same param names
+        g = jax.grad(lambda v: jnp.sum(mine.apply(v, x) ** 2))(vs)
+        assert set(g["params"]) == set(vs["params"])

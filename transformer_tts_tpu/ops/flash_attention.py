@@ -616,7 +616,7 @@ _flash_b.defvjp(_flash_b_fwd_rule, _flash_b_bwd_rule)
 
 def flash_attention(q, k, v, k_len, *, causal=False, sm_scale=None,
                     dropout_rate=0.0, dropout_seed=None,
-                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                    block_q=None, block_k=None,
                     interpret=False):
     """softmax(QK^T * sm_scale, masked)V without materializing scores.
 
@@ -636,6 +636,17 @@ def flash_attention(q, k, v, k_len, *, causal=False, sm_scale=None,
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if dropout_seed is None:
         dropout_seed = jnp.zeros((), jnp.int32)
+    # mask-aware default blocks (r5 on-chip causal sweep, fwd+bwd
+    # dropout 0.1 at B32 H4 T1024 d96, scripts/flash_ab.py cblocks):
+    # causal (512,512) 2.38 ms vs the old global (256,1024) default's
+    # 4.86 — under the causal runtime block-skip (pl.when) the square
+    # block wins; non-causal keeps the r2 full-row-k result
+    # ((256,1024) 3.51 vs (256,512) 4.21: one softmax pass, no
+    # running-max rescale traffic).
+    if block_q is None:
+        block_q = min(512 if causal else DEFAULT_BLOCK_Q, q.shape[2])
+    if block_k is None:
+        block_k = min(512 if causal else DEFAULT_BLOCK_K, k.shape[2])
     return _flash(q, k, v, k_len, jnp.asarray(dropout_seed, jnp.int32),
                   causal, float(sm_scale), float(dropout_rate),
                   int(block_q), int(block_k), bool(interpret))
