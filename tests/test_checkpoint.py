@@ -1,5 +1,6 @@
 """Checkpoint save/restore/averaging tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_should_save_matches_reference_policy():
     assert not should_save(25, 200, 50)
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     _, state = small_state()
     state = state.replace(step=jnp.asarray(123, jnp.int32))

@@ -93,6 +93,7 @@ def test_fastspeech2_train_step_decreases_loss():
     assert last < 0.6 * first, (first, last)
 
 
+@pytest.mark.slow
 def test_reference_init_changes_trajectory():
     """hp.reference_init (default True) applies the reference's
     init_weight scheme (utils/utils.py:153-177, applied at train.py:103)
@@ -175,6 +176,7 @@ def test_speaker_conditioning_changes_output():
                            np.asarray(out1.mel_post))
 
 
+@pytest.mark.slow
 def test_conformer_encoder_forward():
     hp = tiny_hp(encoder_type="conformer")
     model, state = init_fastspeech2_state(hp, jax.random.PRNGKey(0))
@@ -259,6 +261,7 @@ def test_gradient_accumulation_matches_large_batch():
     assert not np.allclose(p1, p2)
 
 
+@pytest.mark.slow
 def test_fix_mask_band_attention():
     """fix_mask band-diagonal windows (fastspeech2.py:124-135,184-193)."""
     hp = tiny_hp(fix_mask=5)
@@ -330,6 +333,7 @@ def test_gst_training_path_uses_target_mel():
     assert np.isfinite(float(logs["loss_total"]))
 
 
+@pytest.mark.slow
 def test_softmax_output_mode_train_step():
     """Discrete dual-stream output mode (train_fastspeech2.py:182-195):
     CE on prenet+postnet logits, accuracy logs, duration/f0/energy
@@ -386,6 +390,7 @@ def test_ctc_aux_loss_matches_torch():
     np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ctc_training_aux_loss():
     """hp.CTC_training wires a mid-decoder CTC tap (weight 0.2, blank 0,
     train_Fastspeech2.py:168,220-224): loss_ctc is logged and included in
@@ -579,6 +584,7 @@ def test_guided_attention_loss_prefers_diagonal():
     np.testing.assert_allclose(lo5, lo, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_transformer_train_step_guided_attention():
     """GA wiring: the loss appears in logs and a few steps visibly
     raise the cross-attention diagonal mass vs the same seed without."""

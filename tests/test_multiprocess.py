@@ -178,6 +178,12 @@ def test_two_process_train_cli(tmp_path):
         assert "loss_total=" in out
 
 
+# weekly tier (154 s): duplicate coverage — the in-tier
+# two_process_training parity test covers the distributed math and
+# test_checkpoint.py::test_save_restore_roundtrip covers save/restore;
+# the driver's dryrun_multichip additionally runs a 2x4 multiprocess
+# step every round.
+@pytest.mark.weekly
 def test_two_process_checkpoint_resume_matches_inmemory(tmp_path):
     """Distributed save -> restore -> continue equals the continuous
     in-memory single-process trajectory (r3 verdict stretch #9): rank 0

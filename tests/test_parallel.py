@@ -42,6 +42,7 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 8, "model": 1}
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """The pjit step on a 8-way data mesh must equal the unsharded step."""
     hp = tiny_hp()
@@ -80,6 +81,7 @@ def test_batch_sharding_layout():
     assert len(xs.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_tp_sharded_step_matches_replicated():
     """2-way TP x 4-way DP must equal the unsharded step numerically."""
     from transformer_tts_tpu.parallel.tp import shard_state_tp
@@ -153,6 +155,7 @@ def test_sequence_parallel_attention_matches_single_device():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_conformer_sharded_step_matches_single_device():
     """Relative-attention (conformer) stacks shard over the data mesh
     identically to a single device — the rel-PE table broadcast and the
@@ -178,6 +181,7 @@ def test_conformer_sharded_step_matches_single_device():
         float(logs1["grad_norm"]), float(logs2["grad_norm"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_multislice_mesh_step_matches_flat_mesh():
     """2 'slices' x 4 devices ('dcn','data','model') == flat 8-way data
     mesh: batches shard over ('dcn','data') jointly, grads hierarchically

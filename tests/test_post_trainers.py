@@ -36,6 +36,7 @@ def make_batch(seed=0, b=2, l=8, t=24, mel_dim=8, vocab=20):
 @pytest.mark.parametrize("version,residual", [(1, False), (2, False),
                                               (3, True), (4, False),
                                               (5, True), (6, True)])
+@pytest.mark.slow
 def test_meltomel_versions(version, residual):
     hp = base_hp(architecture="mel-mel", version=version,
                  phone_embed=version in (2, 3, 4, 6, 7))
@@ -73,6 +74,7 @@ def test_meltomel_teacher_frozen():
     assert not np.allclose(s0, jax.tree.leaves(s_state.params)[0])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", [3, 8, 9, 10])
 def test_integrate_train_versions(version):
     hp = base_hp(architecture="text-mel-mel", version=version,

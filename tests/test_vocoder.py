@@ -313,6 +313,7 @@ def test_istft_unknown_type_rejected():
         build_vocoder(HParams(**{**TINY, "vocoder_type": "wavenet"}))
 
 
+@pytest.mark.slow
 def test_istft_gan_step_improves():
     """The same GAN step trains the iSTFT family (waveform-in/out
     contract shared with HiFiGANGenerator)."""
